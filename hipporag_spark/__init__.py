@@ -1,0 +1,29 @@
+"""hipporag_spark — a from-scratch PySpark-native link-graph analytics engine.
+
+Re-expresses the query/data-processing capabilities of HippoRAG's
+graph-memory core (reference: Johnless31/HippoRAG, read-only at
+/root/reference) as idiomatic Spark: DataFrame/SQL plans optimized by
+Catalyst, vectorized Arrow/pandas UDFs for the numeric kernels, and an
+edge-table data model ``(src, dst, weight, relation)`` instead of a
+pointer graph.  No code is copied from the reference; file:line citations
+in docstrings identify the *behavior* being reproduced.
+
+Layout
+------
+- :mod:`hipporag_spark.session`     Spark session factory (local or cluster)
+- :mod:`hipporag_spark.corpus`      source-code corpus synthesis / derivation
+- :mod:`hipporag_spark.extract`     chunking + deterministic entity/fact extraction
+- :mod:`hipporag_spark.graph`       edge-table construction (HippoRAG §1.4 semantics)
+- :mod:`hipporag_spark.ppr`         distributed Personalized PageRank
+- :mod:`hipporag_spark.components`  connected components (min-label propagation)
+- :mod:`hipporag_spark.lpa`         deterministic label propagation clustering
+- :mod:`hipporag_spark.triangles`   triangle counting
+- :mod:`hipporag_spark.knn`         exact blocked top-k cosine (synonym edges, ANN)
+- :mod:`hipporag_spark.embed`       deterministic hashed-n-gram featurizer
+- :mod:`hipporag_spark.retrieve`    HippoRAG retrieval flow (reset vector → PPR → top-k)
+- :mod:`hipporag_spark.dedup`       exact / MinHash-LSH / SimHash / Jaccard dedup
+- :mod:`hipporag_spark.textstats`   language-ID, quality scoring, token counts
+- :mod:`hipporag_spark.checkpoint`  superstep checkpoint store (parquet + manifest)
+"""
+
+__version__ = "0.1.0"

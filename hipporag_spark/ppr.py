@@ -1,0 +1,412 @@
+"""Distributed Personalized PageRank — the flagship operator.
+
+Reproduces igraph ``personalized_pagerank(damping, directed=False,
+weights='weight', reset=..., implementation='prpack')`` as called by the
+reference at ``/root/reference/src/hipporag/HippoRAG.py:1573-1613`` —
+to ``allclose(atol=1e-6)`` at convergence.  Semantics (SURVEY.md §4.3.1):
+
+- reset vector: NaN/negative entries clamped to 0 (``HippoRAG.py:1599``),
+  then normalized to sum 1 (igraph normalizes internally);
+- undirected weighted graph: conductance(u,v) = Σ weights over *all*
+  parallel edges in *both* orientations (:func:`hipporag_spark.graph
+  .symmetrize`); out-weight(u) = Σ incident weight;
+- dangling vertices (zero incident weight) redistribute their rank mass
+  through the reset distribution every iteration (prpack semantics);
+- fixed point ``p = d·(Mᵀp + dangling_mass·r) + (1−d)·r`` reached by
+  power iteration with L1 convergence ``‖p_t − p_{t−1}‖₁ < tol``
+  (tol=1e-9 default ⇒ 1e-6 agreement with prpack's algebraic solution);
+- damping: engine default 0.85 (north_star); the reference's config
+  default 0.5 (``config_utils.py:180-183``) is accepted as a parameter.
+
+Two physical strategies, auto-selected:
+
+``mode='csr'`` (node count ≤ ``csr_node_limit``)
+    Edge table densified to int32 ids once, blocked by ``src_idx %
+    n_blocks``, persisted.  Each superstep is ONE Spark job: broadcast
+    the float64 rank vector, ``mapInPandas`` runs a vectorized
+    ``np.bincount`` scatter-add per block (map-side combine — every hub
+    dst is pre-aggregated inside each block, so hot keys never
+    concentrate in one shuffle partition), tiny (dst, partial) rows are
+    summed by a ``groupBy``, and the driver blends damping/dangling/reset
+    in numpy.  This is the high-throughput path benched in ``bench.py``.
+
+``mode='dataframe'`` (any scale)
+    Pure DataFrame superstep: ``ranks ⋈ norm_edges`` (rank side
+    broadcast when small), explicit two-stage salted aggregation
+    ``groupBy(dst, salt) → groupBy(dst)`` for hub destinations, damping
+    blend as Catalyst expressions, L1 delta + next dangling mass in one
+    aggregate job.  State stays distributed end-to-end — this is the
+    10^12-edge path; at that scale ranks are hash-partitioned the same
+    way as the persisted edge table so the per-superstep shuffle touches
+    only the rank vector, never re-shuffles edges.
+
+Both paths checkpoint per-superstep state + metrics through
+:class:`hipporag_spark.checkpoint.CheckpointStore` and resume
+mid-iteration (``resume=True``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .checkpoint import CheckpointStore
+from .graph import symmetrize
+
+
+@dataclass
+class PPRResult:
+    ranks: DataFrame  # (node_id string, score double)
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _clamped_reset(reset: DataFrame) -> DataFrame:
+    """NaN/negative reset weights → 0 (``HippoRAG.py:1599``)."""
+    w = F.col("reset_weight").cast("double")
+    return reset.select(
+        "node_id",
+        F.when(F.isnan(w) | (w < 0), F.lit(0.0)).otherwise(w).alias("reset_weight"),
+    )
+
+
+def _node_frame(sym: DataFrame, reset: DataFrame) -> DataFrame:
+    """Universe = edge endpoints ∪ reset nodes, with normalized reset weight,
+    out-weight and dangling flag."""
+    endpoints = sym.select(F.col("src").alias("node_id")).distinct()
+    universe = endpoints.unionByName(reset.select("node_id")).distinct()
+    outw = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    nodes = (
+        universe.join(reset, "node_id", "left")
+        .join(outw.withColumnRenamed("src", "node_id"), "node_id", "left")
+        .select(
+            "node_id",
+            F.coalesce(F.col("reset_weight"), F.lit(0.0)).alias("reset_w"),
+            F.coalesce(F.col("out_w"), F.lit(0.0)).alias("out_w"),
+        )
+        .withColumn("is_dangling", F.col("out_w") <= 0.0)
+    )
+    total = nodes.agg(F.sum("reset_w")).collect()[0][0]
+    if total is None or total <= 0:
+        raise ValueError("reset vector sums to 0 after NaN/negative clamping")
+    return nodes.withColumn("reset_w", F.col("reset_w") / F.lit(float(total)))
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    reset: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 500,
+    mode: str = "auto",
+    local_edge_limit: int = 50_000,
+    csr_node_limit: int = 2_000_000,
+    n_blocks: int | None = None,
+    salt: int = 16,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> PPRResult:
+    """Run PPR over directed edge rows ``(src, dst, weight[, relation])``.
+
+    ``reset``: DataFrame ``(node_id, reset_weight)``; missing nodes get 0.
+    """
+    sym = symmetrize(edges).persist()
+    reset_c = _clamped_reset(reset)
+    nodes = _node_frame(sym, reset_c).persist()
+    n_nodes = nodes.count()
+
+    if mode == "auto":
+        n_sym_edges = sym.count()
+        if n_sym_edges <= local_edge_limit:
+            mode = "local"
+        elif n_nodes <= csr_node_limit:
+            mode = "csr"
+        else:
+            mode = "dataframe"
+    store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+
+    if mode == "local":
+        res = _run_local(spark, sym, nodes, damping, tol, max_iter,
+                         store, checkpoint_every, resume)
+    elif mode == "csr":
+        res = _run_csr(spark, sym, nodes, n_nodes, damping, tol, max_iter,
+                       n_blocks, store, checkpoint_every, resume)
+    else:
+        res = _run_dataframe(spark, sym, nodes, damping, tol, max_iter,
+                             salt, store, checkpoint_every, resume)
+    sym.unpersist()
+    nodes.unpersist()
+    return res
+
+
+# --------------------------------------------------------------------------
+# Driver-local small-graph fast path (same math, one collect)
+# --------------------------------------------------------------------------
+
+def _run_local(spark, sym, nodes, damping, tol, max_iter,
+               store, checkpoint_every, resume) -> PPRResult:
+    """Small graphs (≤ ``local_edge_limit`` symmetrized edges): collect the
+    normalized CSR arrays once and run the identical update loop in numpy.
+    Per-superstep Spark job-launch overhead would dominate at this size
+    (SURVEY.md §7 'hard parts'); semantics are byte-identical to the
+    distributed paths (tested cross-mode)."""
+    npdf = nodes.select("node_id", "reset_w", "is_dangling").orderBy("node_id").toPandas()
+    node_ids = npdf["node_id"].to_numpy()
+    pos = {k: i for i, k in enumerate(node_ids)}
+    n = len(node_ids)
+    r_reset = npdf["reset_w"].to_numpy(dtype=np.float64)
+    dangling = npdf["is_dangling"].to_numpy(dtype=bool)
+
+    epdf = sym.toPandas()
+    out_w = np.zeros(n, dtype=np.float64)
+    src_i = epdf["src"].map(pos).to_numpy(dtype=np.int64)
+    dst_i = epdf["dst"].map(pos).to_numpy(dtype=np.int64)
+    wts = epdf["weight"].to_numpy(dtype=np.float64)
+    np.add.at(out_w, src_i, wts)
+    keep = out_w[src_i] > 0
+    src_i, dst_i = src_i[keep], dst_i[keep]
+    wn = wts[keep] / out_w[src_i]
+
+    ranks = r_reset.copy()
+    start_it = 0
+    if resume and store is not None and store.latest_step() is not None:
+        step = store.latest_step()
+        rdf, _m = store.read(spark, step)
+        rpdf = rdf.toPandas()
+        ranks = np.zeros(n, dtype=np.float64)
+        ranks[rpdf["idx"].to_numpy()] = rpdf["rank"].to_numpy(dtype=np.float64)
+        start_it = step + 1
+
+    metrics: list[dict] = []
+    converged = False
+    it = start_it
+    for it in range(start_it, max_iter):
+        t0 = time.time()
+        contrib = np.bincount(dst_i, weights=ranks[src_i] * wn, minlength=n)
+        dm = float(ranks[dangling].sum())
+        new = damping * (contrib + dm * r_reset) + (1.0 - damping) * r_reset
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        m = {"superstep": it, "l1_delta": delta, "dangling_mass": dm,
+             "edges_processed": int(len(src_i)), "wall_ms": (time.time() - t0) * 1000,
+             "mode": "local"}
+        metrics.append(m)
+        if store is not None and (it % checkpoint_every == 0 or delta < tol):
+            rdf = spark.createDataFrame(
+                pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "rank": ranks})
+            )
+            store.write(it, rdf, m)
+        if delta < tol:
+            converged = True
+            break
+
+    out = spark.createDataFrame(pd.DataFrame({"node_id": node_ids, "score": ranks}))
+    return PPRResult(out.select("node_id", "score"), it + 1, converged, metrics)
+
+
+# --------------------------------------------------------------------------
+# CSR-blocked Arrow-kernel path
+# --------------------------------------------------------------------------
+
+def _run_csr(spark, sym, nodes, n, damping, tol, max_iter,
+             n_blocks, store, checkpoint_every, resume) -> PPRResult:
+    sc = spark.sparkContext
+    n_blocks = n_blocks or max(sc.defaultParallelism * 2, 8)
+
+    # Deterministic dense int index: nodes ordered by id.  A global window
+    # is acceptable here because csr mode is gated at csr_node_limit; the
+    # dataframe path keeps string ids with no global ordering.
+    w = Window.orderBy("node_id")
+    idx = nodes.select("node_id", "reset_w", "is_dangling").withColumn(
+        "idx", F.row_number().over(w) - 1
+    )
+    idx_pdf = idx.orderBy("idx").toPandas()
+    node_ids = idx_pdf["node_id"].to_numpy()
+    r_reset = idx_pdf["reset_w"].to_numpy(dtype=np.float64)
+    dangling = idx_pdf["is_dangling"].to_numpy(dtype=bool)
+
+    id_map = idx.select("node_id", "idx")
+    outw = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        sym.join(outw.where(F.col("out_w") > 0), "src")
+        .join(id_map.withColumnRenamed("node_id", "src").withColumnRenamed("idx", "src_idx"), "src")
+        .join(id_map.withColumnRenamed("node_id", "dst").withColumnRenamed("idx", "dst_idx"), "dst")
+        .select(
+            F.col("src_idx").cast("long").alias("src_idx"),
+            F.col("dst_idx").cast("long").alias("dst_idx"),
+            (F.col("weight") / F.col("out_w")).alias("wn"),
+            F.pmod(F.col("src_idx"), F.lit(n_blocks)).cast("int").alias("block"),
+        )
+        .repartition(n_blocks, "block")
+        .persist()
+    )
+    n_edges = norm.count()
+    block_sizes = {r["block"]: r["cnt"] for r in norm.groupBy("block").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+    start_it = 0
+    ranks = r_reset.copy()
+    if resume and store is not None and store.latest_step() is not None:
+        step = store.latest_step()
+        rdf, _m = store.read(spark, step)
+        rpdf = rdf.orderBy("idx").toPandas()
+        ranks = np.zeros(n, dtype=np.float64)
+        ranks[rpdf["idx"].to_numpy()] = rpdf["rank"].to_numpy(dtype=np.float64)
+        start_it = step + 1
+
+    metrics: list[dict] = []
+    converged = False
+    it = start_it
+    for it in range(start_it, max_iter):
+        t0 = time.time()
+        bc = sc.broadcast(ranks)
+
+        def step_fn(batches, _bc=bc, _n=n):
+            tot = None
+            rows = 0
+            for pdf in batches:
+                r = _bc.value
+                contrib = r[pdf["src_idx"].to_numpy()] * pdf["wn"].to_numpy()
+                c = np.bincount(pdf["dst_idx"].to_numpy(), weights=contrib, minlength=_n)
+                tot = c if tot is None else tot + c
+                rows += len(pdf)
+            if tot is not None:
+                nz = np.flatnonzero(tot)
+                yield pd.DataFrame({"dst_idx": nz.astype(np.int64), "c": tot[nz]})
+
+        partials = norm.mapInPandas(step_fn, schema="dst_idx long, c double")
+        agg = partials.groupBy("dst_idx").agg(F.sum("c").alias("c")).toPandas()
+        contrib = np.zeros(n, dtype=np.float64)
+        if len(agg):
+            contrib[agg["dst_idx"].to_numpy()] = agg["c"].to_numpy(dtype=np.float64)
+        bc.destroy()
+
+        dm = float(ranks[dangling].sum())
+        new = damping * (contrib + dm * r_reset) + (1.0 - damping) * r_reset
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        m = {
+            "superstep": it,
+            "l1_delta": delta,
+            "dangling_mass": dm,
+            "edges_processed": int(n_edges),
+            "wall_ms": (time.time() - t0) * 1000,
+            "mode": "csr",
+        }
+        metrics.append(m)
+        if store is not None and (it % checkpoint_every == 0 or delta < tol):
+            rdf = spark.createDataFrame(
+                pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "rank": ranks})
+            )
+            parts = [{"partition": int(b), "edges": int(c)} for b, c in sorted(block_sizes.items())]
+            store.write(it, rdf, m, parts)
+        if delta < tol:
+            converged = True
+            break
+
+    norm.unpersist()
+    out = spark.createDataFrame(pd.DataFrame({"node_id": node_ids, "score": ranks}))
+    return PPRResult(out.select("node_id", "score"), it + 1, converged, metrics)
+
+
+# --------------------------------------------------------------------------
+# Pure-DataFrame path (state never leaves the cluster)
+# --------------------------------------------------------------------------
+
+def _run_dataframe(spark, sym, nodes, damping, tol, max_iter,
+                   salt, store, checkpoint_every, resume) -> PPRResult:
+    outw = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        sym.join(outw.where(F.col("out_w") > 0), "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight") / F.col("out_w")).alias("wn"),
+            # salt for the explicit two-stage hub aggregation
+            F.pmod(F.xxhash64("src"), F.lit(salt)).alias("salt"),
+        )
+        .repartition(F.col("src"))
+        .persist()
+    )
+    n_edges = norm.count()
+
+    nodes = nodes.persist()
+    ranks = nodes.select("node_id", F.col("reset_w").alias("rank"))
+    start_it = 0
+    if resume and store is not None and store.latest_step() is not None:
+        step = store.latest_step()
+        ranks, _m = store.read(spark, step)
+        ranks = ranks.select("node_id", "rank")
+        start_it = step + 1
+
+    ranks = ranks.persist()
+    dm = (
+        ranks.join(nodes.where("is_dangling").select("node_id"), "node_id", "left_semi")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .collect()[0][0]
+    )
+
+    metrics: list[dict] = []
+    converged = False
+    it = start_it
+    for it in range(start_it, max_iter):
+        t0 = time.time()
+        # contrib: rank mass pushed along normalized edges; rank side is the
+        # small one — Spark broadcasts it under the threshold, else shuffles
+        # on src which matches norm's persisted partitioning (no edge shuffle).
+        contrib = (
+            norm.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .select("dst", "salt", (F.col("rank") * F.col("wn")).alias("c"))
+            .groupBy("dst", "salt")            # stage 1: salted partial sums
+            .agg(F.sum("c").alias("c"))
+            .groupBy("dst")                    # stage 2: final per-dst sum
+            .agg(F.sum("c").alias("c"))
+        )
+        new = (
+            nodes.join(contrib.withColumnRenamed("dst", "node_id"), "node_id", "left")
+            .select(
+                "node_id",
+                "is_dangling",
+                (
+                    F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dm) * F.col("reset_w"))
+                    + F.lit(1.0 - damping) * F.col("reset_w")
+                ).alias("rank"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        row = (
+            new.join(ranks.select("node_id", F.col("rank").alias("old_rank")), "node_id")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+                F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias("dm"),
+            )
+            .collect()[0]
+        )
+        delta, dm = float(row["delta"]), float(row["dm"] or 0.0)
+        ranks.unpersist()
+        ranks = new.select("node_id", "rank").persist()
+        m = {
+            "superstep": it,
+            "l1_delta": delta,
+            "dangling_mass": dm,
+            "edges_processed": int(n_edges),
+            "wall_ms": (time.time() - t0) * 1000,
+            "mode": "dataframe",
+        }
+        metrics.append(m)
+        if store is not None and (it % checkpoint_every == 0 or delta < tol):
+            store.write(it, ranks, m)
+        if delta < tol:
+            converged = True
+            break
+
+    norm.unpersist()
+    return PPRResult(ranks.select("node_id", F.col("rank").alias("score")), it + 1, converged, metrics)

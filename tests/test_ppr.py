@@ -1,0 +1,118 @@
+"""PPR oracle tests (FIXTURES.md §4/§6): every physical mode vs the exact
+dense-solve oracle, on graphs covering parallel edges, dangling vertices,
+disconnected components, NaN/negative reset weights, zero-weight rows and
+hub skew — allclose(atol=1e-6), the north_rule criterion.
+
+The local mode (identical math, driver numpy) runs the full matrix; the
+distributed csr/dataframe paths run a reduced matrix (Spark job-launch
+overhead per superstep) plus a cross-mode equivalence test on a larger
+seeded graph."""
+
+import numpy as np
+import pytest
+
+from hipporag_spark.ppr import personalized_pagerank
+from tests.reference_impl import ppr_exact
+
+# (name, directed edge rows (src,dst,weight), reset dict)
+GRAPHS = [
+    (
+        "parallel_and_reverse",  # fact-style both-direction rows → 2× conductance
+        [("a", "b", 3.0), ("b", "a", 3.0), ("b", "c", 1.0), ("c", "d", 2.0)],
+        {"a": 1.0},
+    ),
+    (
+        "dangling_and_disconnected",
+        [("a", "b", 1.0), ("c", "d", 5.0)],
+        {"a": 0.7, "e": 0.3},  # e is isolated (dangling), seeded
+    ),
+    (
+        "nan_negative_reset",
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        {"a": float("nan"), "b": -2.0, "c": 4.0},
+    ),
+    (
+        "zero_weight_row",
+        [("a", "b", 0.0), ("b", "c", 1.0), ("a", "d", 2.0)],
+        {"b": 1.0, "d": 1.0},
+    ),
+    (
+        "hub",
+        [(f"leaf{i}", "hub", 1.0) for i in range(40)]
+        + [("hub", "leaf0", 2.0), ("x", "y", 1.0)],
+        {"hub": 1.0, "x": 1.0},
+    ),
+]
+_IDS = [g[0] for g in GRAPHS]
+
+
+def _run(spark, rows, reset, damping, mode, tol=1e-10):
+    edges = spark.createDataFrame(
+        [(u, v, float(w), "fact") for u, v, w in rows],
+        "src string, dst string, weight double, relation string",
+    )
+    rdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in reset.items()], "node_id string, reset_weight double"
+    )
+    res = personalized_pagerank(
+        spark, edges, rdf, damping=damping, tol=tol, mode=mode, n_blocks=4
+    )
+    assert res.converged
+    return {r["node_id"]: r["score"] for r in res.ranks.collect()}
+
+
+def _check(got, rows, reset, damping, atol=1e-6):
+    want = ppr_exact(rows, reset, damping)
+    assert set(got) == set(want)
+    g = np.array([got[k] for k in sorted(got)])
+    w = np.array([want[k] for k in sorted(want)])
+    assert np.allclose(g, w, atol=atol), np.abs(g - w).max()
+    assert abs(g.sum() - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("name,rows,reset", GRAPHS, ids=_IDS)
+@pytest.mark.parametrize("damping", [0.5, 0.85])
+def test_local_mode_matches_exact_solve(spark, name, rows, reset, damping):
+    got = _run(spark, rows, reset, damping, "local")
+    _check(got, rows, reset, damping)
+
+
+@pytest.mark.parametrize("name,rows,reset", GRAPHS, ids=_IDS)
+def test_csr_mode_matches_exact_solve(spark, name, rows, reset):
+    got = _run(spark, rows, reset, 0.5, "csr")
+    _check(got, rows, reset, 0.5)
+
+
+@pytest.mark.parametrize("name,rows,reset", GRAPHS[:2], ids=_IDS[:2])
+def test_dataframe_mode_matches_exact_solve(spark, name, rows, reset):
+    got = _run(spark, rows, reset, 0.5, "dataframe")
+    _check(got, rows, reset, 0.5)
+
+
+def _random_graph(n_nodes=120, n_edges=600, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n_edges):
+        u, v = rng.integers(0, n_nodes, 2)
+        rows.append((f"n{u:03d}", f"n{v:03d}", float(rng.integers(1, 5))))
+    rows = [(u, v, w) for u, v, w in rows if u != v]
+    reset = {f"n{i:03d}": 1.0 for i in range(0, n_nodes, 17)}
+    return rows, reset
+
+
+@pytest.mark.parametrize("mode", ["local", "csr", "dataframe"])
+def test_modes_agree_on_random_graph(spark, mode):
+    rows, reset = _random_graph()
+    got = _run(spark, rows, reset, 0.85, mode, tol=1e-9)
+    _check(got, rows, reset, 0.85)
+
+
+def test_reset_all_zero_raises(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0, "fact")], "src string, dst string, weight double, relation string"
+    )
+    rdf = spark.createDataFrame(
+        [("a", float("nan"))], "node_id string, reset_weight double"
+    )
+    with pytest.raises(Exception):
+        personalized_pagerank(spark, edges, rdf, mode="local")
