@@ -1,0 +1,157 @@
+"""Label propagation clustering (synonym/entity communities).
+
+North_rule algorithm #3 — the reference's ColBERT/KNN synonym edges
+(``/root/reference/src/hipporag/HippoRAG.py:818-879``) re-expressed as
+graph clustering over ``relation='synonym'`` edges (SURVEY.md §4.3.4).
+
+igraph's ``community_label_propagation`` visits nodes in *random* order
+with random tie-breaks; the engine instead runs **deterministic
+semi-synchronous LPA with min-label tie-breaking** so results are
+reproducible across runs and partitionings (SURVEY.md §4.3.7):
+
+- every node starts labeled with its own id;
+- nodes are deterministically 2-colored by ``crc32(node_id) % 2``
+  (crc32 is computable identically in Spark and numpy/zlib);
+  each superstep updates color-0 nodes first (seeing current labels),
+  then color-1 nodes (seeing the refreshed color-0 labels) — the
+  standard semi-synchronous scheme that provably avoids the 2-cycle
+  oscillation of fully synchronous LPA on bipartite structures;
+- a node adopts the label with the largest total incident edge weight
+  among its neighbors' labels; ties → lexicographically smallest
+  label; isolated nodes keep their label;
+- converges when a full superstep changes no label.
+
+The exact same algorithm (same coloring hash) is implemented in numpy
+in ``tests/reference_impl.py:lpa_exact`` as the oracle.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .graph import symmetrize
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame  # (node_id string, label string)
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 20,
+    mode: str = "auto",
+    local_edge_limit: int = 100_000,
+) -> LPAResult:
+    sym = symmetrize(edges).where(F.col("src") != F.col("dst")).persist()
+    n_sym = sym.count()
+    if mode == "auto":
+        mode = "local" if n_sym <= local_edge_limit else "dataframe"
+    if mode == "local":
+        res = _lpa_local(spark, sym, max_iter)
+        sym.unpersist()
+        return res
+    nodes = sym.select(F.col("src").alias("node_id")).distinct()
+    labels = nodes.select(
+        "node_id",
+        F.col("node_id").alias("label"),
+        F.pmod(F.crc32(F.col("node_id")), F.lit(2)).alias("color"),
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    def _phase(labels, phase):
+        gathered = (
+            sym.join(labels.select(F.col("node_id").alias("dst"), "label"), "dst")
+            .groupBy(F.col("src").alias("node_id"), "label")
+            .agg(F.sum("weight").alias("mass"))
+        )
+        w = Window.partitionBy("node_id").orderBy(F.desc("mass"), F.asc("label"))
+        picked = (
+            gathered.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node_id", F.col("label").alias("new_label"))
+        )
+        return labels.join(picked, "node_id", "left").select(
+            "node_id",
+            F.when(
+                (F.col("color") == phase) & F.col("new_label").isNotNull(),
+                F.col("new_label"),
+            ).otherwise(F.col("label")).alias("label"),
+            "color",
+        )
+
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    for it in range(max_iter):
+        t0 = time.time()
+        new = _phase(_phase(labels, 0), 1)
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n").join(labels.alias("o"), "node_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        metrics.append({"superstep": it, "labels_changed": int(changed),
+                        "wall_ms": (time.time() - t0) * 1000})
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    return LPAResult(labels.select("node_id", "label"), it + 1, converged, metrics)
+
+
+def _lpa_local(spark, sym, max_iter) -> LPAResult:
+    """Driver-local fast path — identical semantics, one collect (small
+    graphs; per-superstep Spark job overhead dominates below
+    ``local_edge_limit``, same rationale as ppr._run_local)."""
+    import zlib
+
+    import pandas as pd
+
+    pdf = sym.toPandas()
+    adj: dict = {}
+    for u, v, w in zip(pdf["src"], pdf["dst"], pdf["weight"]):
+        adj.setdefault(u, {})[v] = adj.get(u, {}).get(v, 0.0) + w
+    labels = {x: x for x in adj}
+    color = {x: zlib.crc32(str(x).encode()) % 2 for x in adj}
+
+    def phase(labels, ph):
+        new = dict(labels)
+        for x in adj:
+            if color[x] != ph:
+                continue
+            scores: dict = {}
+            for nb, w in adj[x].items():
+                lab = labels[nb]
+                scores[lab] = scores.get(lab, 0.0) + w
+            if not scores:
+                continue
+            best = max(scores.values())
+            new[x] = min(l for l, s in scores.items() if s == best)
+        return new
+
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    for it in range(max_iter):
+        new = phase(phase(labels, 0), 1)
+        changed = sum(1 for k in labels if new[k] != labels[k])
+        metrics.append({"superstep": it, "labels_changed": changed, "mode": "local"})
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    out = spark.createDataFrame(
+        pd.DataFrame(sorted(labels.items()), columns=["node_id", "label"])
+    )
+    return LPAResult(out, it + 1, converged, metrics)

@@ -112,10 +112,13 @@ def triangles_exact(edge_rows):
 
 
 def lpa_exact(edge_rows, max_iter=100):
-    """Deterministic synchronous label propagation with min-label
-    tie-breaking — the same algorithm the engine implements (see
-    ``hipporag_spark/lpa.py`` docstring for why determinism replaces
-    igraph's randomized ``community_label_propagation``)."""
+    """Deterministic semi-synchronous label propagation with min-label
+    tie-breaking and crc32-parity 2-coloring — the same algorithm the
+    engine implements (see ``hipporag_spark/lpa.py`` docstring for why
+    determinism replaces igraph's randomized
+    ``community_label_propagation``)."""
+    import zlib
+
     adj: dict = {}
     for u, v, w in edge_rows:
         if u == v:
@@ -125,18 +128,25 @@ def lpa_exact(edge_rows, max_iter=100):
         adj[u][v] = adj[u].get(v, 0.0) + w
         adj[v][u] = adj[v].get(u, 0.0) + w
     labels = {x: x for x in adj}
-    for _ in range(max_iter):
-        new = {}
+    color = {x: zlib.crc32(str(x).encode()) % 2 for x in adj}
+
+    def phase(labels, ph):
+        new = dict(labels)
         for x in adj:
+            if color[x] != ph:
+                continue
             scores: dict = {}
             for nb, w in adj[x].items():
                 lab = labels[nb]
                 scores[lab] = scores.get(lab, 0.0) + w
             if not scores:
-                new[x] = labels[x]
                 continue
             best = max(scores.values())
             new[x] = min(l for l, s in scores.items() if s == best)
+        return new
+
+    for _ in range(max_iter):
+        new = phase(phase(labels, 0), 1)
         if new == labels:
             break
         labels = new

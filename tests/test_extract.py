@@ -1,0 +1,62 @@
+"""Extraction-stage tests: the sha256(content) per-row invariant
+(BASELINE.json input_hint), text_processing normalization parity
+(misc_utils.py:54-61), entity/fact dedup semantics."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from hipporag_spark.corpus import corpus_from_documents, synthesize_corpus
+from hipporag_spark.extract import extract_all, make_chunks, normalize_text
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sha256_invariant_through_extraction(spark):
+    """Row-for-row: sha256(content) before == after the extraction stage."""
+    corpus = corpus_from_documents(spark, SF)
+    before = corpus.select("repo", "path", F.sha2("content", 256).alias("h"))
+    chunks = make_chunks(corpus)
+    after = chunks.select("repo", "path", F.sha2("content", 256).alias("h"))
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+    # chunk_id embeds the same hash, content-addressed
+    bad = chunks.where(
+        F.col("chunk_id") != F.concat(F.lit("chunk-"), F.sha2("content", 256))
+    ).count()
+    assert bad == 0
+
+
+def test_normalize_text_matches_reference_rule(spark):
+    df = spark.createDataFrame(
+        [("  Hello, WORLD!x_9 ",), ("FOO-bar_baz",), ("中文 词",)], "s string"
+    )
+    got = [r["n"] for r in df.select(normalize_text(F.col("s")).alias("n")).collect()]
+    # lowercase → non-[a-z0-9 CJK] → space → trim (misc_utils.py:54-61)
+    assert got[0] == "hello  world x 9"
+    assert got[1] == "foo bar baz"
+    assert got[2] == "中文 词"
+
+
+def test_entities_and_facts_dedup(spark):
+    corpus = spark.createDataFrame(
+        [("r", "p1", "c", "py", "Foo foo BAR"), ("r", "p2", "c", "py", "bar baz")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t = extract_all(corpus)
+    phrases = sorted(r["phrase"] for r in t["entities"].collect())
+    assert phrases == ["bar", "baz", "foo"]  # normalized + deduped corpus-wide
+    facts = [(r["subject"], r["object"]) for r in t["facts"].collect()]
+    assert sorted(facts) == [("bar", "baz"), ("bar", "foo")]  # subject < object, per-chunk distinct
+    memb = t["membership"].groupBy("entity_id").count().collect()
+    counts = {r["entity_id"][:10]: r["count"] for r in memb}
+    assert sum(counts.values()) == 4  # foo,bar in chunk1; bar,baz in chunk2
+
+
+def test_synthesize_corpus_deterministic(spark):
+    a = synthesize_corpus(spark, 50, seed=7).orderBy("path").collect()
+    b = synthesize_corpus(spark, 50, seed=7, partitions=3).orderBy("path").collect()
+    assert a == b  # independent of partitioning
+    assert len(a) == 50
+    langs = {r["lang"] for r in a}
+    assert langs == {"py", "java", "c", "go", "js"}
