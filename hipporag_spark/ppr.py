@@ -147,6 +147,144 @@ def personalized_pagerank(
     return res
 
 
+def personalized_pagerank_batch(
+    spark: SparkSession,
+    edges: DataFrame,
+    resets: DataFrame,  # (query_id, node_id, reset_weight)
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 500,
+    mode: str = "auto",
+    local_edge_limit: int = 50_000,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Multi-query PPR: iterate a rank **matrix** (n_nodes × n_queries) so
+    one pass over the edge table serves every query's superstep — the
+    retrieval path runs all queries of a batch in one iteration loop
+    instead of one PPR job per query (the reference loops queries
+    sequentially, ``HippoRAG.py:406``).  Returns
+    ``(query_id, node_id, score)``.  Convergence: max per-query L1 delta
+    < tol.  Semantics per query are identical to
+    :func:`personalized_pagerank` (clamp, normalize, dangling, damping).
+    """
+    sym = symmetrize(edges).persist()
+    w = F.col("reset_weight").cast("double")
+    resets_c = resets.select(
+        "query_id",
+        "node_id",
+        F.when(F.isnan(w) | (w < 0), F.lit(0.0)).otherwise(w).alias("reset_weight"),
+    )
+    endpoints = sym.select(F.col("src").alias("node_id")).distinct()
+    universe = endpoints.unionByName(resets_c.select("node_id")).distinct()
+
+    # dense node index (same ordering rule as the single-query csr path)
+    widx = Window.orderBy("node_id")
+    idx = universe.withColumn("idx", F.row_number().over(widx) - 1).persist()
+    n = idx.count()
+    qids = [r["query_id"] for r in resets_c.select("query_id").distinct().orderBy("query_id").collect()]
+    qpos = {q: j for j, q in enumerate(qids)}
+    nq = len(qids)
+
+    rpdf = resets_c.join(idx, "node_id").select("query_id", "idx", "reset_weight").toPandas()
+    R = np.zeros((n, nq), dtype=np.float64)
+    if len(rpdf):
+        R[rpdf["idx"].to_numpy(), rpdf["query_id"].map(qpos).to_numpy()] = rpdf[
+            "reset_weight"
+        ].to_numpy(dtype=np.float64)
+    colsum = R.sum(axis=0)
+    if (colsum <= 0).any():
+        bad = [qids[j] for j in np.flatnonzero(colsum <= 0)]
+        raise ValueError(f"reset vector sums to 0 for queries: {bad}")
+    R = R / colsum
+
+    outw_df = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        sym.join(outw_df.where(F.col("out_w") > 0), "src")
+        .join(idx.withColumnRenamed("node_id", "src").withColumnRenamed("idx", "src_idx"), "src")
+        .join(idx.withColumnRenamed("node_id", "dst").withColumnRenamed("idx", "dst_idx"), "dst")
+        .select("src_idx", "dst_idx", (F.col("weight") / F.col("out_w")).alias("wn"))
+    )
+    n_edges = sym.count()
+    sc = spark.sparkContext
+
+    has_out = np.zeros(n, dtype=bool)
+    owpdf = outw_df.where(F.col("out_w") > 0).join(idx.withColumnRenamed("node_id", "src"), "src").select("idx").toPandas()
+    has_out[owpdf["idx"].to_numpy()] = True
+    dangling = ~has_out
+
+    if mode == "auto":
+        mode = "local" if n_edges <= local_edge_limit else "csr"
+
+    ranks = R.copy()
+    if mode == "local":
+        epdf = norm.toPandas()
+        src_i = epdf["src_idx"].to_numpy(dtype=np.int64)
+        dst_i = epdf["dst_idx"].to_numpy(dtype=np.int64)
+        wn = epdf["wn"].to_numpy(dtype=np.float64)
+        for _ in range(max_iter):
+            contrib = np.zeros((n, nq), dtype=np.float64)
+            for j in range(nq):
+                contrib[:, j] = np.bincount(dst_i, weights=ranks[src_i, j] * wn, minlength=n)
+            dm = ranks[dangling].sum(axis=0)
+            new = damping * (contrib + dm * R) + (1.0 - damping) * R
+            delta = np.abs(new - ranks).sum(axis=0).max()
+            ranks = new
+            if delta < tol:
+                break
+    else:  # csr
+        n_blocks = n_blocks or max(sc.defaultParallelism * 2, 8)
+        normb = norm.withColumn(
+            "block", F.pmod(F.col("src_idx"), F.lit(n_blocks)).cast("int")
+        ).repartition(n_blocks, "block").persist()
+        normb.count()
+        for _ in range(max_iter):
+            bc = sc.broadcast(ranks)
+
+            def step_fn(batches, _bc=bc, _n=n, _nq=nq):
+                tot = None
+                for pdf in batches:
+                    r = _bc.value
+                    si = pdf["src_idx"].to_numpy()
+                    di = pdf["dst_idx"].to_numpy()
+                    ww = pdf["wn"].to_numpy()
+                    c = np.zeros((_n, _nq), dtype=np.float64)
+                    for j in range(_nq):
+                        c[:, j] = np.bincount(di, weights=r[si, j] * ww, minlength=_n)
+                    tot = c if tot is None else tot + c
+                if tot is not None:
+                    nz = np.flatnonzero(tot.any(axis=1))
+                    out = pd.DataFrame({"dst_idx": np.repeat(nz, _nq)})
+                    out["qj"] = np.tile(np.arange(_nq), len(nz))
+                    out["c"] = tot[nz].ravel()
+                    yield out[out["c"] != 0.0]
+
+            agg = (
+                normb.mapInPandas(step_fn, schema="dst_idx long, qj int, c double")
+                .groupBy("dst_idx", "qj").agg(F.sum("c").alias("c")).toPandas()
+            )
+            contrib = np.zeros((n, nq), dtype=np.float64)
+            if len(agg):
+                contrib[agg["dst_idx"].to_numpy(), agg["qj"].to_numpy()] = agg["c"].to_numpy()
+            bc.destroy()
+            dm = ranks[dangling].sum(axis=0)
+            new = damping * (contrib + dm * R) + (1.0 - damping) * R
+            delta = np.abs(new - ranks).sum(axis=0).max()
+            ranks = new
+            if delta < tol:
+                break
+        normb.unpersist()
+
+    ids_pdf = idx.orderBy("idx").toPandas()
+    node_ids = ids_pdf["node_id"].to_numpy()
+    frames = []
+    for j, q in enumerate(qids):
+        frames.append(pd.DataFrame({"query_id": q, "node_id": node_ids, "score": ranks[:, j]}))
+    out = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    sym.unpersist()
+    idx.unpersist()
+    return out.select("query_id", "node_id", "score")
+
+
 # --------------------------------------------------------------------------
 # Driver-local small-graph fast path (same math, one collect)
 # --------------------------------------------------------------------------

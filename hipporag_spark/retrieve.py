@@ -1,0 +1,192 @@
+"""HippoRAG retrieval flow, re-expressed as set-based DataFrame stages.
+
+Reference per-query sequence (``/root/reference/src/hipporag/HippoRAG.py``):
+``retrieve`` (360-446) → ``get_fact_scores`` (1281-1319) → ``rerank_facts``
+(1523-1571, an LLM filter — replaced by a deterministic identity filter per
+SURVEY.md §2.7 R4) → ``graph_search_with_fact_entities`` (1406-1520):
+phrase weights from top facts, ``get_top_k_weights`` mask (1359-1404),
+DPR passage weights × ``passage_node_weight`` (config 0.05,
+``config_utils.py:79-82``), summed into the PPR reset vector → ``run_ppr``
+(1573-1613) → passage scores sorted desc.
+
+Engine differences (documented, deterministic):
+
+- queries are processed **as a batch**: one rank-matrix PPR iteration
+  loop serves every query (the reference loops queries one igraph call
+  at a time, ``HippoRAG.py:406``);
+- embeddings come from the deterministic featurizer (:mod:`.embed`); the
+  reference's two query instructions (fact-view vs passage-view,
+  ``prompts/linking.py:1-11``) collapse to the same vector;
+- ties everywhere are pinned (score desc, id asc) — numpy argsort /
+  dict-order ties in the reference are unpinned (SURVEY.md §4.3.7);
+- reproduced exactly: per-phrase fact-score ÷ chunk-degree
+  (``1462-1463``), mean over occurrences (``1470-1482``), link_top_k
+  zeroing (``1359-1404``), min-max normalization over the *full* score
+  vector (``misc_utils.py:106-115``), passage×0.05 blend, damping 0.5
+  default (``config_utils.py:180-183``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .embed import with_embeddings
+from .knn import cosine_topk_with_stats, minmax_normalize
+from .ppr import personalized_pagerank_batch
+
+
+@dataclass
+class RetrievalConfig:
+    link_top_k: int = 5           # config_utils.py:172-175
+    passage_node_weight: float = 0.05  # config_utils.py:79-82
+    damping: float = 0.5          # reference default (config_utils.py:180-183)
+    retrieval_top_k: int = 200    # config_utils.py:176-179
+    tol: float = 1e-9
+    dim: int = 128
+
+
+class GraphRetriever:
+    def __init__(
+        self,
+        spark: SparkSession,
+        nodes: DataFrame,
+        edges: DataFrame,
+        chunks: DataFrame,
+        entities: DataFrame,
+        facts: DataFrame,
+        membership: DataFrame,
+        config: RetrievalConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or RetrievalConfig()
+        self.nodes = nodes
+        self.edges = edges.persist()
+        # distinct facts with embedded "subject predicate object" text
+        # (reference fact store holds distinct triples, misc_utils.py:99-104)
+        facts_d = facts.dropDuplicates(["subject", "predicate", "object"]).select(
+            F.sha2(F.concat_ws("\x1f", "subject", "predicate", "object"), 256).alias("fact_id"),
+            "subject",
+            "predicate",
+            "object",
+            F.concat_ws(" ", "subject", "predicate", "object").alias("fact_text"),
+        )
+        self.facts = with_embeddings(facts_d, "fact_text", dim=self.cfg.dim).persist()
+        self.passages = with_embeddings(
+            chunks.select("chunk_id", "content"), "content", dim=self.cfg.dim
+        ).persist()
+        self.entities = entities.persist()
+        # entity chunk-degree (len(ent_node_to_chunk_ids[k]), HippoRAG.py:1462-1463)
+        self.ent_degree = (
+            membership.groupBy("entity_id")
+            .agg(F.countDistinct("chunk_id").alias("chunk_degree"))
+            .persist()
+        )
+
+    def phrase_weights(self, queries_emb: DataFrame) -> DataFrame:
+        """(query_id, node_id, weight) for entity nodes — the phrase half of
+        the reset vector (HippoRAG.py:1436-1506)."""
+        cfg = self.cfg
+        topk, stats = cosine_topk_with_stats(
+            self.spark,
+            queries_emb.select(F.col("query_id").alias("id"), "embedding"),
+            self.facts.select(F.col("fact_id").alias("id"), "embedding"),
+            k=cfg.link_top_k,
+        )
+        top_norm = minmax_normalize(topk, stats).select(
+            "query_id", F.col("key_id").alias("fact_id"), F.col("score_norm").alias("fact_score")
+        )
+        # explode each fact into its subject/object phrases (HippoRAG.py:1446-1455)
+        pairs = (
+            top_norm.join(self.facts.select("fact_id", "subject", "object"), "fact_id")
+            .select(
+                "query_id",
+                "fact_score",
+                F.explode(F.array(F.lower("subject"), F.lower("object"))).alias("phrase"),
+            )
+        )
+        withent = pairs.join(
+            self.entities.select(F.col("phrase"), "entity_id"), "phrase"
+        ).join(self.ent_degree, "entity_id", "left")
+        # ÷ chunk-degree when > 0 (1462-1467), then mean over occurrences (1470-1475)
+        weighted = withent.withColumn(
+            "w",
+            F.when(
+                F.coalesce(F.col("chunk_degree"), F.lit(0)) > 0,
+                F.col("fact_score") / F.col("chunk_degree"),
+            ).otherwise(F.col("fact_score")),
+        )
+        pw = weighted.groupBy("query_id", "entity_id", "phrase").agg(
+            (F.sum("w") / F.count(F.lit(1))).alias("weight")
+        )
+        # link_top_k mask: keep top-k phrases per query, zero (drop) the rest
+        # (get_top_k_weights, HippoRAG.py:1359-1404); ties pinned by phrase
+        wnd = Window.partitionBy("query_id").orderBy(F.desc("weight"), F.asc("phrase"))
+        return (
+            pw.withColumn("_rn", F.row_number().over(wnd))
+            .where(F.col("_rn") <= cfg.link_top_k)
+            .select("query_id", F.col("entity_id").alias("node_id"), "weight")
+        )
+
+    def dpr_scores(self, queries_emb: DataFrame) -> DataFrame:
+        """(query_id, chunk_id, score_norm) — min-max-normalized dense
+        passage scores over ALL passages (dense_passage_retrieval,
+        HippoRAG.py:1321-1356)."""
+        n_passages = self.passages.count()
+        allk, stats = cosine_topk_with_stats(
+            self.spark,
+            queries_emb.select(F.col("query_id").alias("id"), "embedding"),
+            self.passages.select(F.col("chunk_id").alias("id"), "embedding"),
+            k=n_passages,
+        )
+        return minmax_normalize(allk, stats).select(
+            "query_id", F.col("key_id").alias("chunk_id"), "score_norm", "rank"
+        )
+
+    def retrieve(self, queries: DataFrame) -> DataFrame:
+        """queries ``(query_id, question)`` → ``(query_id, doc_id, rank,
+        score)`` top-``retrieval_top_k`` passages per query."""
+        cfg = self.cfg
+        qe = with_embeddings(queries, "question", dim=cfg.dim).persist()
+        pw = self.phrase_weights(qe)
+        dpr = self.dpr_scores(qe).persist()
+        passage_part = dpr.select(
+            "query_id",
+            F.col("chunk_id").alias("node_id"),
+            (F.col("score_norm") * F.lit(cfg.passage_node_weight)).alias("weight"),
+        )
+        resets = (
+            pw.unionByName(passage_part)
+            .groupBy("query_id", "node_id")
+            .agg(F.sum("weight").alias("reset_weight"))
+        )
+        # queries with no graph-linked facts fall back to pure DPR
+        # (HippoRAG.py:414-416); with the deterministic identity rerank this
+        # only happens when no fact phrase matches any graph entity.
+        have_facts = pw.select("query_id").distinct()
+        ppr_scores = personalized_pagerank_batch(
+            self.spark,
+            self.edges,
+            resets.join(have_facts, "query_id", "left_semi"),
+            damping=cfg.damping,
+            tol=cfg.tol,
+        )
+        chunk_ids = self.passages.select(F.col("chunk_id").alias("node_id"))
+        doc_scores = ppr_scores.join(chunk_ids, "node_id", "left_semi").select(
+            "query_id", F.col("node_id").alias("doc_id"), "score"
+        )
+        wnd = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        graph_ranked = (
+            doc_scores.withColumn("rank", F.row_number().over(wnd))
+            .where(F.col("rank") <= cfg.retrieval_top_k)
+        )
+        dpr_only = (
+            dpr.join(have_facts, "query_id", "left_anti")
+            .where(F.col("rank") <= cfg.retrieval_top_k)
+            .select("query_id", F.col("chunk_id").alias("doc_id"), F.col("score_norm").alias("score"), "rank")
+        )
+        return graph_ranked.select("query_id", "doc_id", "score", "rank").unionByName(
+            dpr_only.select("query_id", "doc_id", "score", "rank")
+        )

@@ -1,0 +1,130 @@
+"""Retrieval-ranking fixture (SURVEY.md §5.3): the engine's batched
+DataFrame retrieval flow vs an independent numpy replication of
+HippoRAG's per-query path (fact scores → phrase weights → link_top_k →
+DPR×0.05 → PPR → sorted passages), sharing only the edge table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hipporag_spark.embed import embed_batch
+from hipporag_spark.extract import extract_all
+from hipporag_spark.graph import build_graph
+from hipporag_spark.retrieve import GraphRetriever, RetrievalConfig
+from tests.reference_impl import ppr_exact
+
+DOCS = [
+    "graph node edge traversal search",
+    "spark shuffle partition join skew",
+    "node embedding vector cosine search",
+    "query planner optimizer join order",
+    "hash index scan filter pushdown",
+    "graph partition edge cut balance",
+    "vector index quantization recall",
+    "join hash probe build spill",
+]
+QUERIES = [("q1", "graph edge search"), ("q2", "join hash spill")]
+CFG = RetrievalConfig(link_top_k=3, damping=0.5, retrieval_top_k=8, dim=64)
+
+
+def _minmax(x):
+    if len(x) == 0:
+        return x
+    lo, hi = x.min(), x.max()
+    if hi == lo:
+        return np.ones_like(x)
+    return (x - lo) / (hi - lo)
+
+
+def _numpy_flow(tables_pdf, edge_rows, question):
+    """Independent replication of HippoRAG.py:1406-1520 + 1281-1356."""
+    import hashlib
+
+    facts = tables_pdf["facts"]  # list of (fact_id, subject, object, text)
+    chunks = tables_pdf["chunks"]  # list of (chunk_id, content)
+    deg = tables_pdf["deg"]  # entity_id -> chunk_degree
+    entity_of = tables_pdf["entity_of"]  # phrase -> entity_id
+
+    qv = embed_batch([question], CFG.dim)[0].astype(np.float64)
+    qv /= np.linalg.norm(qv)
+
+    fvecs = np.stack([f[4] for f in facts]).astype(np.float64)
+    fvecs /= np.linalg.norm(fvecs, axis=1, keepdims=True)
+    fscores = fvecs @ qv
+    fnorm = _minmax(fscores)
+    order = sorted(range(len(facts)), key=lambda i: (-fscores[i], facts[i][0]))
+    top = order[: CFG.link_top_k]
+
+    acc, cnt = {}, {}
+    for i in top:
+        _, s, o, _, _ = facts[i]
+        for phrase in (s.lower(), o.lower()):
+            eid = entity_of.get(phrase)
+            if eid is None:
+                continue
+            w = fnorm[i]
+            if deg.get(eid, 0) > 0:
+                w = w / deg[eid]
+            acc[eid] = acc.get(eid, 0.0) + w
+            cnt[eid] = cnt.get(eid, 0) + 1
+    pw = {e: acc[e] / cnt[e] for e in acc}
+    id2phrase = {v: k for k, v in entity_of.items()}
+    kept = sorted(pw, key=lambda e: (-pw[e], id2phrase[e]))[: CFG.link_top_k]
+    reset = {e: pw[e] for e in kept}
+
+    cvecs = np.stack([c[2] for c in chunks]).astype(np.float64)
+    cvecs /= np.linalg.norm(cvecs, axis=1, keepdims=True)
+    dnorm = _minmax(cvecs @ qv)
+    for (cid, _, _), sc in zip(chunks, dnorm):
+        reset[cid] = reset.get(cid, 0.0) + sc * CFG.passage_node_weight
+
+    scores = ppr_exact(edge_rows, reset, CFG.damping)
+    doc_scores = sorted(
+        ((cid, scores.get(cid, 0.0)) for cid, _, _ in chunks),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return doc_scores[: CFG.retrieval_top_k]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", f"c{i}", "py", d) for i, d in enumerate(DOCS)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t = extract_all(corpus)
+    nodes, edges = build_graph(t)
+    edges = edges.persist()
+    r = GraphRetriever(spark, nodes, edges, t["chunks"], t["entities"], t["facts"], t["membership"], CFG)
+    edge_rows = [(x["src"], x["dst"], x["weight"]) for x in edges.collect()]
+    fact_pdf = r.facts.select("fact_id", "subject", "object", "fact_text", "embedding").collect()
+    facts = [(x["fact_id"], x["subject"], x["object"], x["fact_text"], np.array(x["embedding"])) for x in fact_pdf]
+    chunk_pdf = r.passages.collect()
+    chunks = [(x["chunk_id"], x["content"], np.array(x["embedding"])) for x in chunk_pdf]
+    deg = {x["entity_id"]: x["chunk_degree"] for x in r.ent_degree.collect()}
+    entity_of = {x["phrase"]: x["entity_id"] for x in t["entities"].collect()}
+    return r, {"facts": facts, "chunks": chunks, "deg": deg, "entity_of": entity_of}, edge_rows
+
+
+def test_retrieval_matches_numpy_reference_flow(spark, built):
+    r, tables_pdf, edge_rows = built
+    qdf = spark.createDataFrame(QUERIES, "query_id string, question string")
+    got = r.retrieve(qdf).collect()
+    by_q = {}
+    for row in got:
+        by_q.setdefault(row["query_id"], []).append((row["rank"], row["doc_id"], row["score"]))
+    for qid, question in QUERIES:
+        want = _numpy_flow(tables_pdf, edge_rows, question)
+        mine = sorted(by_q[qid])
+        assert len(mine) == len(want)
+        for (rank, doc_id, score), (wdoc, wscore) in zip(mine, want):
+            assert doc_id == wdoc, (qid, rank, doc_id, wdoc)
+            assert abs(score - wscore) < 1e-6
+
+
+def test_retrieval_is_deterministic(spark, built):
+    r, _, _ = built
+    qdf = spark.createDataFrame(QUERIES, "query_id string, question string")
+    a = sorted((x["query_id"], x["rank"], x["doc_id"]) for x in r.retrieve(qdf).collect())
+    b = sorted((x["query_id"], x["rank"], x["doc_id"]) for x in r.retrieve(qdf).collect())
+    assert a == b
