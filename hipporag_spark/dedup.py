@@ -1,0 +1,316 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a ``documents`` table ``(doc_id, text, ...)``, all
+expressed with built-in ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen — no Python in the hot path) so every one has an exact ANSI-SQL
+oracle in ``__spark_entry__.py``:
+
+- :func:`exact_duplicates`      content-hash groupBy (sha256)
+- :func:`minhash_signatures` /
+  :func:`lsh_candidate_pairs`   MinHash (K permutations via keyed md5,
+                                lexicographic-min over hex digests) →
+                                banded LSH bucket join → verified Jaccard
+- :func:`simhash_signatures`    B-bit SimHash from per-token md5 nibbles
+- :func:`jaccard_pairs`         exact n-gram (shingle) Jaccard via
+                                inverted-index self-join
+- :func:`embedding_neardup_pairs`  cosine near-duplicate pairs over an
+                                ``array<float>`` embedding column
+
+Scale notes (the 100 TB story):
+
+- Exact/minhash/simhash are one groupBy shuffle each, keyed on doc or
+  band — map-side partial aggregation applies; no cross join anywhere.
+- LSH candidate generation joins docs only within a band bucket; bucket
+  skew (a degenerate shingle shared by many docs) is bounded by
+  ``max_bucket`` — oversized buckets are dropped with a count, the same
+  guardrail production MinHash dedup pipelines use.
+- The verified-Jaccard stage touches candidate pairs only (|pairs| ≪ n²).
+- Hash choice: ``min`` over md5 *hex strings* is deterministic,
+  engine-portable (Spark and DuckDB produce identical digests) and
+  order-free, so signatures are reproducible across partitionings.
+
+The reference has no dedup stage (its content-hash upsert at
+``/root/reference/src/hipporag/embedding_store.py:44-61`` is the exact-dup
+case); MinHash/SimHash/LSH follow the standard public formulations
+(Broder 1997; Charikar 2002) re-expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_for_dedup",
+    "exact_duplicates",
+    "shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_signatures",
+    "jaccard_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def normalize_for_dedup(col):
+    """lowercase → collapse non-alnum runs to single spaces → trim.
+
+    Same normalization the DuckDB oracle uses; applied before shingling so
+    near-dup detection ignores punctuation/case noise.
+    """
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: one row per duplicate *group*.
+
+    Returns ``(content_sha, keeper_id, n_dups)`` where ``keeper_id`` is the
+    smallest doc_id of the group and ``n_dups >= 2``.  A single
+    hash-groupBy shuffle; at 100 TB the sha256 is computed map-side and
+    only (hash, id) pairs shuffle — the text column is pruned.
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word ``n``-gram shingles per doc: ``(doc_id, shingle)``.
+
+    Tokens from the dedup normalization; shingle = n consecutive tokens
+    joined by a single space.  Built entirely from Catalyst array
+    functions (``split``/``transform``/``slice``/``explode``).
+    """
+    toks = F.split(normalize_for_dedup(F.col(text_col)), " ")
+    # NB: Spark sequence(1, 0) is DESCENDING [1,0], so short docs need an
+    # explicit empty-array guard, not a greatest() clamp.
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def _perm_hash(perm: int):
+    """Keyed hash for MinHash permutation ``perm``: md5 hex digest of
+    ``"<perm>:<shingle>"``.  Lexicographic min over hex strings is the
+    permutation min — identical in Spark and DuckDB."""
+    return F.md5(F.concat(F.lit(f"{perm}:"), F.col("shingle")))
+
+
+def minhash_signatures(
+    doc_shingles: DataFrame, num_perm: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: ``(doc_id, mh0..mh{K-1})``.
+
+    One groupBy over the shingle table with K ``min`` aggregates — no row
+    explosion (each shingle row computes its K keyed digests in-place).
+    """
+    aggs = [F.min(_perm_hash(j)).alias(f"mh{j}") for j in range(num_perm)]
+    return doc_shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    doc_shingles: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection, fully relational.
+
+    signature → ``bands`` band keys (md5 of the concatenated rows of each
+    band) → docs sharing a band key become candidates → candidates
+    verified with exact shingle Jaccard → keep pairs ≥ ``threshold``.
+
+    Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b``.
+    ``max_bucket`` drops degenerate buckets (hub shingles) before the
+    pair join — the skew guardrail; at scale, band keys are additionally
+    well distributed because they hash the whole band.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(doc_shingles, num_perm)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    ok = (
+        buckets.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket))
+        .select("band", "band_key")
+    )
+    small = buckets.join(ok, ["band", "band_key"], "left_semi")
+    a, b = small.alias("a"), small.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_for_pairs(doc_shingles, cand)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def jaccard_for_pairs(doc_shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle Jaccard for an explicit ``(doc_a, doc_b)`` pair set."""
+    sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = doc_shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = doc_shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.7, text_col: str = "text",
+    max_shingle_docs: int = 1000,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold, via inverted-index join.
+
+    The pair candidates come from the shingle inverted index (docs sharing
+    at least one shingle) — never a cross join.  ``max_shingle_docs``
+    drops hub shingles (stop-gram guardrail) before the self-join.
+    Returns ``(doc_a, doc_b, jaccard)``, ``doc_a < doc_b``.
+    """
+    sh = shingles(docs, n=n, text_col=text_col).persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_shingle_docs)
+        .select("shingle")
+    )
+    shr = sh.join(rare, "shingle", "left_semi")
+    a = shr.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shr.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """B-bit SimHash per doc: ``(doc_id, simhash)`` (Charikar 2002).
+
+    Bit ``i`` of a token's hash = high bit of hex nibble ``i`` of
+    ``md5(token)`` (nibble ≥ 8).  Per doc: sum +1/−1 votes per bit over
+    distinct tokens; signature bit i set iff the vote is positive.
+    All-Catalyst: one explode + one groupBy with ``bits`` integer
+    aggregates; identical formula runs in the DuckDB oracle.
+    """
+    assert bits <= 32
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_for_dedup(F.col(text_col)), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int") >= 8,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a, id_b, cos)``, a < b.
+
+    Cosine via Catalyst higher-order functions (``zip_with`` +
+    ``aggregate``) — JVM-side, no UDF.  The pair space is a self-join;
+    for the scale path use :func:`hipporag_spark.knn.cosine_topk` (blocked
+    Arrow matmul) or LSH bucketing — this operator is the exact oracle.
+    """
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

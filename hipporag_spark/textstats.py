@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data curation at corpus scale.
+
+All pure Catalyst expressions (``pyspark.sql.functions`` only — JVM-side,
+whole-stage codegen, no Python UDFs), so each has an exact DuckDB oracle
+in ``__spark_entry__.py`` and scales as a single projection over the
+document scan (no shuffle at all except the optional aggregations):
+
+- :func:`token_counts`     whitespace tokens + BPE-ish regex word pieces
+- :func:`quality_scores`   length / punctuation / stopword / repetition
+                           heuristics → composite quality in [0, 1]
+- :func:`language_id`      stopword-hit n-gram heuristic over a small
+                           built-in profile table (en/de/fr/es + code)
+- :func:`fingerprints`     content sha256 + shingle min-hash fingerprint
+                           (1-perm MinHash ≙ deterministic rolling-hash
+                           document sketch)
+
+The reference computes corpus character/word statistics at
+``/root/reference/src/hipporag/HippoRAG.py:977-988``; the rest follows
+standard public data-curation heuristics (e.g. Gopher/C4 quality rules)
+re-expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["token_counts", "quality_scores", "language_id", "fingerprints", "BPE_PATTERN"]
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum-non-space
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# tiny public stopword profiles (top function words per language)
+_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"],
+    "es": ["el", "la", "los", "las", "es", "una", "por", "con", "para", "del"],
+}
+_CODE_MARKERS = ["def", "return", "import", "void", "int", "func", "var", "class", "self", "const"]
+
+
+def _tokens(text_col):
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " ")), " "),
+        lambda t: t != F.lit(""),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, ws_tokens, bpe_tokens, chars)`` — whitespace-token count,
+    BPE-ish regex word-piece count, character count.  Pure projection."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim(t), "\\s+"), lambda x: x != F.lit(""))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PATTERN), 0)).alias("bpe_tokens"),
+        F.length(t).alias("chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristics per doc.
+
+    Columns: ``n_chars``, ``n_words``, ``mean_word_len``, ``punct_ratio``
+    (non-alnum-non-space chars / chars), ``stopword_ratio`` (English
+    profile), ``uniq_ratio`` (distinct words / words) and a blended
+    ``quality`` score in [0,1] (C4/Gopher-style gates re-expressed as
+    smooth penalties).  Pure projection — runs inside the document scan.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*_PROFILES["en"]))
+    )
+    uniq = F.size(F.array_distinct(toks))
+    word_chars = F.length(F.concat_ws("", toks))
+    out = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, word_chars.cast("double") / n_words).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)).alias("punct_ratio"),
+        F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        F.when(n_words > 0, uniq.cast("double") / n_words).otherwise(F.lit(0.0)).alias("uniq_ratio"),
+    )
+    quality = (
+        F.least(F.col("n_words").cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.25)
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(4.0), F.lit(1.0))) * F.lit(0.25)
+        + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * F.lit(0.25)
+        + F.col("uniq_ratio") * F.lit(0.25)
+    )
+    return out.withColumn("quality", quality)
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, pred_lang, lang_score)`` — stopword-profile voting.
+
+    Score per language = fraction of tokens hitting that language's
+    profile; ``code`` wins when code-marker hits beat every natural
+    language.  Deterministic ties: highest score, then language name.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    scores = []
+    for lang, words in sorted({**_PROFILES, "code": _CODE_MARKERS}.items()):
+        hits = F.size(F.filter(toks, lambda x: x.isin(*words)))
+        score = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """``(doc_id, content_sha, min_shingle_hash)`` — exact content hash
+    plus a 1-permutation MinHash over word ``n``-grams (a deterministic
+    rolling-hash-style sketch; equal sketches ⇒ likely near-dups)."""
+    toks = _tokens(F.col(text_col))
+    # Spark sequence(1, 0) is descending — guard short docs explicitly.
+    grams = F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+    )).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+        F.array_min(grams).alias("min_shingle_hash"),
+    )
