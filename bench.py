@@ -1,0 +1,202 @@
+"""Per-round benchmark for the hipporag_spark engine.
+
+Prints ONE JSON line:
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1,
+   "ppr_scaling": {"edges": E, "nodes": V,
+                   "local8":  {"superstep_sec": s, "edges_per_sec": t, "supersteps_per_min": m},
+                   "local32": {...},
+                   "efficiency_8_to_32": thr32 / (4 * thr8)}}
+
+Two parts:
+
+1. **Headline queries** at ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` — the engine's
+   operator surface end-to-end (graph build, converged PPR, components,
+   LPA, triangles, MinHash-LSH dedup, SimHash, ANN top-k, retrieval).
+
+2. **PPR scaling evidence** (BASELINE.json north_rule: throughput
+   scaling efficiency ≥ 0.8 from N to 4N executors, sandbox proxy =
+   local[8] vs local[32]): a deterministic Zipf-skewed edge table
+   (``$SPARK_GRAFT_BENCH_EDGES``, default 4e8 edges / 1e6 nodes) is laid
+   out once by ``prepare_csr_blocks`` (cached under .bench_cache/), then
+   the identical superstep job runs at both parallelism levels; we report
+   per-superstep wall time, edges/sec and the 8→32 efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_EDGES = int(float(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "4e8")))
+BENCH_NODES = int(float(os.environ.get("SPARK_GRAFT_BENCH_NODES", "1e6")))
+N_BLOCKS = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCKS", "64"))
+MEASURED_STEPS = 5
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+os.environ.setdefault("HIPPORAG_DRIVER_MEM", "48g")
+
+from hipporag_spark.session import get_spark  # noqa: E402
+from hipporag_spark.corpus import corpus_from_documents  # noqa: E402
+from hipporag_spark.extract import extract_all  # noqa: E402
+from hipporag_spark.graph import build_graph  # noqa: E402
+from hipporag_spark.ppr import personalized_pagerank, prepare_csr_blocks, ppr_from_blocks  # noqa: E402
+from hipporag_spark.components import connected_components  # noqa: E402
+from hipporag_spark.lpa import label_propagation  # noqa: E402
+from hipporag_spark import dedup as dd  # noqa: E402
+from hipporag_spark import similarity as sim  # noqa: E402
+from hipporag_spark.triangles import triangle_count  # noqa: E402
+from hipporag_spark.retrieve import GraphRetriever, RetrievalConfig  # noqa: E402
+import __spark_entry__ as entry  # noqa: E402
+
+
+def timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def headline_queries(spark) -> dict:
+    q = {}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    state = {}
+
+    def _build():
+        corpus = corpus_from_documents(spark, SF_DIR)
+        tables = extract_all(corpus)
+        nodes, edges = build_graph(tables)
+        edges = edges.persist()
+        edges.count()
+        state.update(tables=tables, nodes=nodes, edges=edges)
+
+    q["graph_build"] = timed(_build)
+    edges = state["edges"]
+
+    seeds = (
+        state["tables"]["entities"]
+        .where(F.col("phrase").isin(*entry.SEED_PHRASES))
+        .select(F.col("entity_id").alias("node_id"), F.lit(1.0).alias("reset_weight"))
+    )
+    q["ppr_converged"] = timed(
+        lambda: personalized_pagerank(spark, edges, seeds, damping=0.85, tol=1e-9).ranks.count()
+    )
+    q["connected_components"] = timed(
+        lambda: connected_components(spark, edges).components.count()
+    )
+    q["label_propagation"] = timed(lambda: label_propagation(spark, edges).labels.count())
+    q["triangle_count"] = timed(lambda: triangle_count(edges))
+    q["minhash_lsh"] = timed(
+        lambda: dd.lsh_candidate_pairs(dd.shingles(docs, n=1), num_perm=8, bands=4,
+                                       threshold=0.7).count()
+    )
+    q["simhash"] = timed(lambda: dd.simhash_signatures(docs, bits=16).count())
+    qv = emb.where(F.col("vec_id") < 100).select(F.col("vec_id").alias("query_id"), "embedding")
+    q["ann_topk"] = timed(
+        lambda: sim.brute_force_topk(qv, emb.select("vec_id", "embedding"), k=10).count()
+    )
+    q["ivf_ann"] = timed(
+        lambda: sim.ivf_topk(spark, qv, emb.select("vec_id", "embedding"), k=10).count()
+    )
+
+    def _retrieve():
+        r = GraphRetriever(
+            spark, state["nodes"], edges, state["tables"]["chunks"],
+            state["tables"]["entities"], state["tables"]["facts"],
+            state["tables"]["membership"], config=RetrievalConfig(retrieval_top_k=10),
+        )
+        queries = spark.createDataFrame(
+            [("q0", "table row key"), ("q1", "merge join scan"), ("q2", "vector window batch")],
+            "query_id string, question string",
+        )
+        r.retrieve(queries).count()
+
+    q["retrieve"] = timed(_retrieve)
+    edges.unpersist()
+    return q
+
+
+def synth_edge_table(spark, n_edges: int, n_nodes: int):
+    """Deterministic Zipf-skewed edge table (hub-heavy in-degree)."""
+    e = spark.range(0, n_edges, numPartitions=max(CPUS * 2, 16))
+    src = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(n_nodes))
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(1_000_000)).cast("double") / F.lit(1e6)
+    dst = F.least(
+        F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0))).cast("long"),
+        F.lit(n_nodes - 1),
+    )
+    return e.select(src.alias("src"), dst.alias("dst"), F.lit(1.0).alias("weight"))
+
+
+def ensure_blocks(tag: str) -> str:
+    """Build (once) the CSR block layout for the scaling graph."""
+    out = os.path.join(CACHE, tag)
+    if os.path.exists(os.path.join(out, "meta.json")):
+        return out
+    spark = get_spark("bench-prepare", cores=CPUS)
+    edges = synth_edge_table(spark, BENCH_EDGES, BENCH_NODES)
+    prepare_csr_blocks(spark, edges, out, n_blocks=N_BLOCKS, int_ids=BENCH_NODES,
+                       unit_weights=True)
+    spark.stop()
+    return out
+
+
+def run_supersteps(cores: int, blocks_dir: str) -> dict:
+    spark = get_spark(f"bench-ppr-{cores}", cores=cores)
+    reset = np.zeros(BENCH_NODES)
+    reset[:10] = 1.0
+    warmup = 3  # until worker-process block caches saturate
+    res = ppr_from_blocks(
+        spark, blocks_dir, reset, damping=0.85, tol=0.0,
+        max_iter=MEASURED_STEPS + warmup,
+    )
+    spark.stop()
+    steps = res.metrics[warmup:]
+    sec = float(np.mean([m["wall_ms"] for m in steps])) / 1000.0
+    n_edges = steps[0]["edges_processed"]
+    return {
+        "superstep_sec": round(sec, 4),
+        "edges_per_sec": round(n_edges / sec),
+        "supersteps_per_min": round(60.0 / sec, 2),
+    }
+
+
+def main():
+    out = {"metric": "headline_total_sec", "unit": "sec",
+           "sf": float(SF_DIR.rstrip("/").split("sf")[-1])}
+
+    spark = get_spark("bench-headline", cores=CPUS)
+    queries = headline_queries(spark)
+    spark.stop()
+    out["queries"] = queries
+    out["value"] = round(sum(queries.values()), 3)
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        tag = f"e{BENCH_EDGES}_n{BENCH_NODES}_b{N_BLOCKS}"
+        blocks_dir = ensure_blocks(tag)
+        r8 = run_supersteps(8, blocks_dir)
+        r32 = run_supersteps(32, blocks_dir)
+        eff = r32["edges_per_sec"] / (4.0 * r8["edges_per_sec"])
+        out["ppr_scaling"] = {
+            "edges": BENCH_EDGES, "nodes": BENCH_NODES, "blocks": N_BLOCKS,
+            "local8": r8, "local32": r32,
+            "efficiency_8_to_32": round(eff, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

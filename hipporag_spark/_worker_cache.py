@@ -1,0 +1,106 @@
+"""Per-worker-process block cache for the superstep kernels.
+
+PySpark reuses worker processes across tasks (``spark.python.worker.reuse``,
+default true), so module-level state survives between supersteps.  Shipping
+edge blocks through the JVM↔Python socket every superstep costs ~10 s/GB
+under 32-way contention (measured); loading them worker-side from
+page-cached parquet with pyarrow costs ~0.05 s per 50 MB block, and repeat
+hits are free.  Only the small result vectors ever cross the socket.
+
+Cache is bounded by ``HIPPORAG_WORKER_CACHE_MB`` (default 4096) with FIFO
+eviction — on a real cluster each executor hosts a handful of workers, so
+the bound keeps total worker memory far below executor memory.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+_CACHE: OrderedDict = OrderedDict()
+_CACHE_BYTES = 0
+_LIMIT = int(os.environ.get("HIPPORAG_WORKER_CACHE_MB", "2048")) * 1024 * 1024
+
+
+def _load(files: list[str], cols: tuple) -> tuple:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # use_threads=False: each of N concurrent workers would otherwise spin
+    # up its own full-width Arrow thread pool (N² threads, cache thrash)
+    tbls = [
+        pq.read_table(f, columns=list(cols), memory_map=True, use_threads=False)
+        for f in files
+    ]
+    t = tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+    return tuple(t[c].to_numpy() for c in cols)
+
+
+_SCRATCH: dict = {}
+_CHUNK = 1_000_000
+
+
+def _scratch(name: str, dtype) -> "np.ndarray":
+    buf = _SCRATCH.get(name)
+    if buf is None:
+        buf = np.empty(_CHUNK, dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf
+
+
+def block_contrib(si, dloc, ranks, edge_scale, loc_len, per_node: bool) -> "np.ndarray":
+    """One block's contribution slice: ``Σ ranks[src]·scale per local dst``.
+
+    ``per_node=True``: ``edge_scale`` is a per-NODE array (1/out_w, indexed
+    by src — the unit-weight layout); else per-EDGE (wn, aligned with si).
+    Chunked with persistent scratch buffers: fresh multi-hundred-MB
+    temporaries per task would pay first-touch page-fault cost every
+    superstep (measured ~2 s/240 MB on this host) and saturate DRAM
+    bandwidth at high core counts; 8 MB reused buffers stay cache-resident.
+    """
+    c = np.zeros(loc_len, dtype=np.float64)
+    w = _scratch("w", np.float64)
+    w2 = _scratch("w2", np.float64)
+    m = len(si)
+    for a in range(0, m, _CHUNK):
+        b = min(a + _CHUNK, m)
+        k = b - a
+        np.take(ranks, si[a:b], out=w[:k])
+        if per_node:
+            np.take(edge_scale, si[a:b], out=w2[:k])
+            w[:k] *= w2[:k]
+        else:
+            w[:k] *= edge_scale[a:b]
+        c += np.bincount(dloc[a:b], weights=w[:k], minlength=loc_len)
+    return c
+
+
+def get_block(
+    key: tuple,
+    files: list[str],
+    cols: tuple = ("src_idx", "dst_idx", "wn"),
+    limit_bytes: int | None = None,
+):
+    """Fetch the requested block columns as numpy arrays, cached.
+
+    ``limit_bytes`` overrides the env default — callers size it as
+    total_budget / parallelism so N workers never collectively exceed the
+    budget (a per-worker-constant limit blows up memory at high core
+    counts: 32 workers × 2 GB ≈ RAM).
+    """
+    global _CACHE_BYTES
+    limit = _LIMIT if limit_bytes is None else limit_bytes
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+    arrs = _load(files, cols)
+    nbytes = sum(a.nbytes for a in arrs)
+    while _CACHE and _CACHE_BYTES + nbytes > limit:
+        _, old = _CACHE.popitem(last=False)
+        _CACHE_BYTES -= sum(a.nbytes for a in old)
+    if nbytes <= limit:
+        _CACHE[key] = arrs
+        _CACHE_BYTES += nbytes
+    return arrs

@@ -286,6 +286,241 @@ def personalized_pagerank_batch(
 
 
 # --------------------------------------------------------------------------
+# Block-cached CSR path for throughput benchmarking / big graphs
+# --------------------------------------------------------------------------
+
+def prepare_csr_blocks(
+    spark: SparkSession,
+    edges: DataFrame,
+    out_dir: str,
+    n_blocks: int,
+    int_ids: int | None = None,
+    unit_weights: bool = False,
+) -> dict:
+    """One-time physical layout for :func:`ppr_from_blocks`: symmetrize
+    (without pair-dedup — duplicate rows sum naturally inside the bincount
+    kernel, identical math to igraph's parallel-edge conductance),
+    normalize by out-weight, densify node ids, and write the edge table as
+    parquet partitioned by ``block = dst_idx % n_blocks``.
+
+    Partitioning by **destination** makes each superstep task own a
+    disjoint slice of the contribution vector: no cross-task reduction of
+    dense vectors, the driver just concatenates 8-byte-per-node slices.
+    The out-weight side joins broadcast (``n_nodes`` rows), so the only
+    full shuffle is the one-time re-block write.
+
+    ``int_ids=n``: src/dst are already dense integers in [0, n).
+    Returns metadata ``{n_nodes, n_edges, n_blocks, id_map_path?}``.
+
+    This is the write-once layout a 10^12-edge deployment would keep as a
+    bucketed Iceberg table: supersteps never reshuffle edges, they stream
+    the co-located blocks.
+    """
+    import json as _json
+    import os as _os
+
+    fwd = edges.select("src", "dst", "weight")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    sym = fwd.unionByName(rev)
+    unit = bool(unit_weights)
+    if int_ids is not None:
+        n = int(int_ids)
+        outw = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
+        outw.select(F.col("src").cast("long").alias("idx"), "out_w").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/outw")
+        if unit:
+            # unit edge weights: normalization folds into a broadcast
+            # 1/out_w gather inside the kernel — blocks carry only two
+            # int32 columns (halves shuffle + storage + read volume)
+            norm = sym.select(
+                F.col("src").cast("int").alias("src_idx"),
+                F.col("dst").cast("int").alias("dst_idx"),
+            )
+        else:
+            norm = sym.join(F.broadcast(outw.where(F.col("out_w") > 0)), "src").select(
+                F.col("src").cast("int").alias("src_idx"),
+                F.col("dst").cast("int").alias("dst_idx"),
+                (F.col("weight") / F.col("out_w")).alias("wn"),
+            )
+        id_map_path = None
+    else:
+        unit = False
+        w = Window.orderBy("node_id")
+        universe = sym.select(F.col("src").alias("node_id")).distinct()
+        idx = universe.withColumn("idx", F.row_number().over(w) - 1)
+        id_map_path = f"{out_dir}/id_map"
+        idx.write.mode("overwrite").parquet(id_map_path)
+        idx = spark.read.parquet(id_map_path)
+        n = idx.count()
+        outw = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
+        outw.join(idx.withColumnRenamed("node_id", "src"), "src").select(
+            F.col("idx").cast("long").alias("idx"), "out_w"
+        ).write.mode("overwrite").parquet(f"{out_dir}/outw")
+        norm = (
+            sym.join(outw.where(F.col("out_w") > 0), "src")
+            .join(idx.withColumnRenamed("node_id", "src").withColumnRenamed("idx", "src_idx"), "src")
+            .join(idx.withColumnRenamed("node_id", "dst").withColumnRenamed("idx", "dst_idx"), "dst")
+            .select(
+                F.col("src_idx").cast("int").alias("src_idx"),
+                F.col("dst_idx").cast("int").alias("dst_idx"),
+                (F.col("weight") / F.col("out_w")).alias("wn"),
+            )
+        )
+    # store the LOCAL dst index (dst // n_blocks) — the block id already
+    # encodes dst % n_blocks, and the kernel bincounts straight into its
+    # local slice without a per-superstep division pass
+    norm = norm.withColumn(
+        "block", F.pmod(F.col("dst_idx"), F.lit(n_blocks)).cast("int")
+    ).withColumn(
+        "dst_loc", (F.col("dst_idx") / F.lit(n_blocks)).cast("int")
+    ).drop("dst_idx")
+    (
+        norm.repartition(n_blocks, "block")
+        .write.mode("overwrite")
+        # dictionary decode costs ~1 s per million rows at read time —
+        # plain-encoded int32/float64 pages convert to numpy ~30× faster
+        .option("parquet.enable.dictionary", "false")
+        .partitionBy("block")
+        .parquet(f"{out_dir}/blocks")
+    )
+    n_edges = spark.read.parquet(f"{out_dir}/blocks").count()
+    meta = {"n_nodes": n, "n_edges": int(n_edges), "n_blocks": n_blocks,
+            "unit_weights": unit, "id_map_path": id_map_path}
+    with open(_os.path.join(out_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def ppr_from_blocks(
+    spark: SparkSession,
+    blocks_dir: str,
+    reset_idx: np.ndarray,          # dense float64 reset vector, length n_nodes
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 500,
+    store: CheckpointStore | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    worker_cache_budget_mb: int = 24576,
+) -> PPRResult:
+    """Superstep loop over :func:`prepare_csr_blocks` output with fully
+    parallel per-superstep work — the benchmark/scale path.
+
+    Each superstep broadcasts the float64 rank vector; one task per
+    dst-block gathers ``ranks[src] * wn`` and ``np.bincount``-accumulates
+    into its **local** dst slice (block owns ``dst ≡ b (mod n_blocks)``,
+    local index ``dst // n_blocks``) — map-side combine with no cross-task
+    reduction at all.  The driver strided-assigns the collected slices
+    (total traffic per superstep: exactly ``8·n_nodes`` bytes + the
+    broadcast).  Edge blocks are read worker-side from page-cached parquet
+    via :mod:`hipporag_spark._worker_cache` (per-process cache; repeat
+    supersteps on a reused worker are memory-speed) — the JVM↔Python
+    channel never carries edge data.
+    """
+    import glob
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(blocks_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    n = int(meta["n_nodes"])
+    n_blocks = int(meta["n_blocks"])
+    n_edges = int(meta["n_edges"])
+    sc = spark.sparkContext
+
+    block_files: dict[int, list[str]] = {}
+    for p in glob.glob(f"{blocks_dir}/blocks/block=*/*.parquet"):
+        b = int(p.split("block=")[1].split("/")[0])
+        block_files.setdefault(b, []).append(p)
+
+    r_reset = np.asarray(reset_idx, dtype=np.float64)
+    r_reset = np.where(np.isnan(r_reset) | (r_reset < 0), 0.0, r_reset)
+    total = r_reset.sum()
+    if total <= 0:
+        raise ValueError("reset vector sums to 0 after NaN/negative clamping")
+    r_reset = r_reset / total
+
+    # out-weight sidecar: dangling mask + (unit-weight layout) the 1/out_w
+    # vector the kernel folds into the gather.  Driver-materialized — fine
+    # to ~1e8 nodes; beyond that it would shard like the rank vector.
+    owpdf = spark.read.parquet(f"{blocks_dir}/outw").toPandas()
+    out_w = np.zeros(n, dtype=np.float64)
+    out_w[owpdf["idx"].to_numpy()] = owpdf["out_w"].to_numpy(dtype=np.float64)
+    dangling = out_w <= 0.0
+    unit = bool(meta.get("unit_weights"))
+    inv_w = np.zeros(n, dtype=np.float64)
+    nz = ~dangling
+    inv_w[nz] = 1.0 / out_w[nz]
+    bc_inv = sc.broadcast(inv_w) if unit else None
+    cols = ("src_idx", "dst_loc") if unit else ("src_idx", "dst_loc", "wn")
+    # per-worker cache share: the cache budget is global — with P reused
+    # workers, each may cache at most budget/P (see _worker_cache)
+    cache_limit = int(worker_cache_budget_mb * 1024 * 1024 / max(sc.defaultParallelism, 1))
+
+    ranks = r_reset.copy()
+    start_it = 0
+    if resume and store is not None and store.latest_step() is not None:
+        step = store.latest_step()
+        rdf, _m = store.read(spark, step)
+        rpdf = rdf.orderBy("idx").toPandas()
+        ranks = np.zeros(n, dtype=np.float64)
+        ranks[rpdf["idx"].to_numpy()] = rpdf["rank"].to_numpy(dtype=np.float64)
+        start_it = step + 1
+
+    metrics: list[dict] = []
+    converged = False
+    it = start_it
+    for it in range(start_it, max_iter):
+        t0 = time.time()
+        bc = sc.broadcast(ranks)
+
+        def step_fn(bids, _bc=bc, _binv=bc_inv, _n=n, _nb=n_blocks,
+                    _files=block_files, _unit=unit, _cols=cols, _lim=cache_limit):
+            from hipporag_spark._worker_cache import block_contrib, get_block
+
+            for bid in bids:
+                fs = _files.get(bid, [])
+                if not fs:
+                    continue
+                arrs = get_block((blocks_dir, bid), fs, _cols, limit_bytes=_lim)
+                si, dloc = arrs[0], arrs[1]
+                loc_len = (_n - bid + _nb - 1) // _nb
+                scale = _binv.value if _unit else arrs[2]
+                yield (bid, block_contrib(si, dloc, _bc.value, scale, loc_len, _unit))
+
+        parts = (
+            sc.parallelize(range(n_blocks), n_blocks).mapPartitions(step_fn).collect()
+        )
+        contrib = np.zeros(n, dtype=np.float64)
+        for bid, local in parts:
+            contrib[bid::n_blocks] = local
+        bc.destroy()
+        dm = float(ranks[dangling].sum())
+        new = damping * (contrib + dm * r_reset) + (1.0 - damping) * r_reset
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        m = {"superstep": it, "l1_delta": delta, "dangling_mass": dm,
+             "edges_processed": int(n_edges), "wall_ms": (time.time() - t0) * 1000,
+             "mode": "csr_rdd"}
+        metrics.append(m)
+        if store is not None and (it % checkpoint_every == 0 or delta < tol):
+            rdf = spark.createDataFrame(
+                pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "rank": ranks})
+            )
+            store.write(it, rdf, m)
+        if delta < tol:
+            converged = True
+            break
+
+    if bc_inv is not None:
+        bc_inv.destroy()
+    out = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": ranks}))
+    return PPRResult(out.select(F.col("idx").cast("string").alias("node_id"), "score"),
+                     it + 1, converged, metrics)
+
+
+# --------------------------------------------------------------------------
 # Driver-local small-graph fast path (same math, one collect)
 # --------------------------------------------------------------------------
 

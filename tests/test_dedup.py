@@ -1,0 +1,102 @@
+"""Dedup operators vs plain-python references on hand-built corpora."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hipporag_spark import dedup as dd
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),          # near dup
+    (3, "completely different text about spark dataframes here"),
+    (4, "tiny"),                                                  # < 3 tokens
+    (5, "Spark DataFrames!! here; completely different text about"),  # shuffled 3
+    (6, ""),                                                      # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, n):
+    import re
+
+    toks = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+    if toks == [""]:
+        toks = []
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark, docs):
+    out = dd.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["keeper_id"] == 0 and out[0]["n_dups"] == 2
+
+
+def test_shingles_short_doc_guard(spark, docs):
+    sh = dd.shingles(docs, n=3).toPandas()
+    # doc 4 ("tiny") and doc 6 ("") produce no 3-gram shingles
+    assert set(sh["doc_id"]) == {0, 1, 2, 3, 5}
+    for did, text in DOCS:
+        got = set(sh[sh.doc_id == did]["shingle"])
+        assert got == _py_shingles(text, 3), did
+
+
+def test_minhash_identical_docs_equal_sigs(spark, docs):
+    sig = dd.minhash_signatures(dd.shingles(docs, n=3), num_perm=8).toPandas()
+    s = sig.set_index("doc_id")
+    assert (s.loc[0] == s.loc[1]).all()
+    assert not (s.loc[0] == s.loc[3]).all()
+
+
+def test_lsh_finds_planted_near_dup(spark, docs):
+    pairs = dd.lsh_candidate_pairs(
+        dd.shingles(docs, n=1), num_perm=8, bands=4, threshold=0.6
+    ).toPandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 1) in found           # exact dup always survives
+    assert (3, 5) in found           # token-set permutation: jaccard 1.0 at n=1
+    jac = dict(zip(zip(pairs.doc_a, pairs.doc_b), pairs.jaccard))
+    assert jac[(0, 1)] == 1.0
+    assert jac[(3, 5)] == 1.0
+
+
+def test_jaccard_pairs_matches_python(spark, docs):
+    out = dd.jaccard_pairs(docs, n=1, threshold=0.0 + 1e-9).toPandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+    sets = {d: _py_shingles(t, 1) for d, t in DOCS}
+    for a in range(7):
+        for b in range(a + 1, 7):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got
+            else:
+                expect = inter / len(sets[a] | sets[b])
+                assert got[(a, b)] == pytest.approx(expect, abs=1e-12)
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sig = dd.simhash_signatures(docs, bits=16).toPandas().set_index("doc_id")["simhash"]
+    assert sig[0] == sig[1]
+    assert sig[3] == sig[5]  # same token set → same simhash
+    ham = bin(int(sig[0]) ^ int(sig[2])).count("1")
+    assert ham <= 6  # near-dup: small hamming distance
+
+
+def test_embedding_neardup_vs_numpy(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((4, 8)).astype(np.float32)
+    vecs = np.vstack([base, base[0] + rng.standard_normal(8).astype(np.float32) * 0.01])
+    pdf = pd.DataFrame({"vec_id": range(5), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    out = dd.embedding_neardup_pairs(emb, threshold=0.99).toPandas()
+    v = vecs.astype(np.float64)
+    cos = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    expect = {(a, b) for a in range(5) for b in range(a + 1, 5) if cos[a, b] >= 0.99}
+    assert set(zip(out.id_a, out.id_b)) == expect
+    assert expect == {(0, 4)}

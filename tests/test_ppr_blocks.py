@@ -1,0 +1,100 @@
+"""CSR-block superstep path (prepare_csr_blocks + ppr_from_blocks) vs the
+exact in-memory reference path, including unit/non-unit weights, dangling
+nodes, and checkpoint resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hipporag_spark.checkpoint import CheckpointStore
+from hipporag_spark.ppr import (
+    personalized_pagerank,
+    ppr_from_blocks,
+    prepare_csr_blocks,
+)
+
+N = 500
+
+
+def _random_edges(spark, seed=0, n_edges=3000, weighted=False):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, N, n_edges)
+    # leave nodes [N-20, N) without any incident edge half the time → some
+    # may appear only via reset (dangling)
+    dst = rng.integers(0, N - 20, n_edges)
+    w = rng.uniform(0.5, 3.0, n_edges) if weighted else np.ones(n_edges)
+    pdf = pd.DataFrame({"src": src, "dst": dst, "weight": w})
+    return spark.createDataFrame(pdf)
+
+
+def _reference_scores(spark, edges, reset, damping):
+    es = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        "weight",
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"node_id": [str(i) for i in np.flatnonzero(reset)],
+             "reset_weight": reset[reset > 0]}
+        )
+    )
+    res = personalized_pagerank(
+        spark, es, rdf, damping=damping, tol=1e-12, max_iter=300,
+        mode="local", local_edge_limit=10**9,
+    )
+    pdf = res.ranks.toPandas()
+    pdf["idx"] = pdf["node_id"].astype(int)
+    out = np.zeros(N)
+    out[pdf["idx"].to_numpy()] = pdf["score"].to_numpy()
+    return out
+
+
+@pytest.mark.parametrize("unit", [True, False])
+def test_blocks_match_reference(spark, tmp_path, unit):
+    edges = _random_edges(spark, seed=1, weighted=not unit)
+    out = str(tmp_path / f"blocks_{unit}")
+    prepare_csr_blocks(spark, edges, out, n_blocks=4, int_ids=N, unit_weights=unit)
+    reset = np.zeros(N)
+    reset[[3, 77, 123]] = [0.2, 0.5, 0.3]
+    got = ppr_from_blocks(spark, out, reset, damping=0.85, tol=1e-12, max_iter=300)
+    gp = got.ranks.toPandas()
+    gp["idx"] = gp["node_id"].astype(int)
+    gv = np.zeros(N)
+    gv[gp["idx"].to_numpy()] = gp["score"].to_numpy()
+    ref = _reference_scores(spark, edges, reset, 0.85)
+    # reference universe = edge endpoints ∪ reset nodes; blocks universe =
+    # [0, N) — compare on the reference's support
+    mask = ref > 0
+    assert np.allclose(gv[mask], ref[mask], atol=1e-9)
+    assert got.converged
+
+
+def test_blocks_resume_matches_uninterrupted(spark, tmp_path):
+    edges = _random_edges(spark, seed=2)
+    out = str(tmp_path / "blocks_resume")
+    prepare_csr_blocks(spark, edges, out, n_blocks=4, int_ids=N, unit_weights=True)
+    reset = np.zeros(N)
+    reset[:4] = 1.0
+
+    full = ppr_from_blocks(spark, out, reset, damping=0.85, tol=1e-11, max_iter=200)
+    fv = full.ranks.toPandas().sort_values("node_id")
+
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    ppr_from_blocks(spark, out, reset, damping=0.85, tol=1e-11, max_iter=5,
+                    store=store, checkpoint_every=1)
+    assert store.latest_step() == 4
+    resumed = ppr_from_blocks(spark, out, reset, damping=0.85, tol=1e-11,
+                              max_iter=200, store=store, resume=True)
+    rv = resumed.ranks.toPandas().sort_values("node_id")
+    assert np.allclose(fv["score"].to_numpy(), rv["score"].to_numpy(), atol=1e-9)
+    assert resumed.metrics[0]["superstep"] == 5  # picked up mid-iteration
+
+
+def test_blocks_reject_zero_reset(spark, tmp_path):
+    edges = _random_edges(spark, seed=3)
+    out = str(tmp_path / "blocks_zero")
+    prepare_csr_blocks(spark, edges, out, n_blocks=2, int_ids=N, unit_weights=True)
+    with pytest.raises(ValueError):
+        ppr_from_blocks(spark, out, np.zeros(N))
