@@ -154,7 +154,20 @@ def ensure_blocks(tag: str) -> str:
     return out
 
 
+def _prewarm(blocks_dir: str) -> None:
+    """Pull the npy block files into the OS page cache so both parallelism
+    levels measure steady-state compute, not first-run disk latency."""
+    import glob
+
+    buf = bytearray(1 << 22)
+    for p in glob.glob(os.path.join(blocks_dir, "npy", "*.npy")):
+        with open(p, "rb", buffering=0) as f:
+            while f.readinto(buf):
+                pass
+
+
 def run_supersteps(cores: int, blocks_dir: str) -> dict:
+    _prewarm(blocks_dir)
     spark = get_spark(f"bench-ppr-{cores}", cores=cores)
     reset = np.zeros(BENCH_NODES)
     reset[:10] = 1.0

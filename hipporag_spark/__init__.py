@@ -21,9 +21,12 @@ Layout
 - :mod:`hipporag_spark.knn`         exact blocked top-k cosine (synonym edges, ANN)
 - :mod:`hipporag_spark.embed`       deterministic hashed-n-gram featurizer
 - :mod:`hipporag_spark.retrieve`    HippoRAG retrieval flow (reset vector → PPR → top-k)
-- :mod:`hipporag_spark.dedup`       exact / MinHash-LSH / SimHash / Jaccard dedup
-- :mod:`hipporag_spark.textstats`   language-ID, quality scoring, token counts
+- :mod:`hipporag_spark.dedup`       exact / MinHash-LSH / SimHash / Jaccard / cosine dedup
+- :mod:`hipporag_spark.similarity`  exact + IVF + SRP-LSH similarity search
+- :mod:`hipporag_spark.textstats`   language-ID, quality scoring, token counts, fingerprints
+- :mod:`hipporag_spark.multimodal`  binary media columns: decode/resize/frame-sample plumbing
 - :mod:`hipporag_spark.checkpoint`  superstep checkpoint store (parquet + manifest)
+- :mod:`hipporag_spark._worker_cache`  per-worker block cache + chunked superstep kernel
 """
 
 __version__ = "0.1.0"

@@ -39,7 +39,7 @@ def _load(files: list[str], cols: tuple) -> tuple:
 
 
 _SCRATCH: dict = {}
-_CHUNK = 1_000_000
+_CHUNK = 262_144  # buffers stay L2/L3-resident (3 × 2 MB)
 
 
 def _scratch(name: str, dtype) -> "np.ndarray":
@@ -63,6 +63,7 @@ def block_contrib(si, dloc, ranks, edge_scale, loc_len, per_node: bool) -> "np.n
     c = np.zeros(loc_len, dtype=np.float64)
     w = _scratch("w", np.float64)
     w2 = _scratch("w2", np.float64)
+    dl = _scratch("dl", np.int64)
     m = len(si)
     for a in range(0, m, _CHUNK):
         b = min(a + _CHUNK, m)
@@ -73,7 +74,10 @@ def block_contrib(si, dloc, ranks, edge_scale, loc_len, per_node: bool) -> "np.n
             w[:k] *= w2[:k]
         else:
             w[:k] *= edge_scale[a:b]
-        c += np.bincount(dloc[a:b], weights=w[:k], minlength=loc_len)
+        # cast-copy the (possibly uint16) local dst index into a reused
+        # int64 buffer: bincount would otherwise allocate its own copy
+        dl[:k] = dloc[a:b]
+        c += np.bincount(dl[:k], weights=w[:k], minlength=loc_len)
     return c
 
 
@@ -82,19 +86,30 @@ def get_block(
     files: list[str],
     cols: tuple = ("src_idx", "dst_idx", "wn"),
     limit_bytes: int | None = None,
+    npy_dir: str | None = None,
 ):
     """Fetch the requested block columns as numpy arrays, cached.
 
-    ``limit_bytes`` overrides the env default — callers size it as
-    total_budget / parallelism so N workers never collectively exceed the
-    budget (a per-worker-constant limit blows up memory at high core
-    counts: 32 workers × 2 GB ≈ RAM).
+    Preferred path: ``npy_dir`` sidecars via ``np.load(mmap_mode='r')`` —
+    zero-copy views over the shared OS page cache, so the cache entry
+    costs ~nothing per worker and N workers hold the data once (no decode,
+    no allocation, no first-touch page-fault churn per superstep).
+    Fallback: parquet decode, bounded by ``limit_bytes`` (callers size it
+    as total_budget / parallelism so N workers never collectively exceed
+    the budget).
     """
     global _CACHE_BYTES
     limit = _LIMIT if limit_bytes is None else limit_bytes
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
+    if npy_dir is not None:
+        bid = key[1]
+        paths = [os.path.join(npy_dir, f"block_{bid}_{c}.npy") for c in cols]
+        if all(os.path.exists(p) for p in paths):
+            arrs = tuple(np.load(p, mmap_mode="r") for p in paths)
+            _CACHE[key] = arrs  # mmap views: ~zero resident cost
+            return arrs
     arrs = _load(files, cols)
     nbytes = sum(a.nbytes for a in arrs)
     while _CACHE and _CACHE_BYTES + nbytes > limit:

@@ -323,6 +323,8 @@ def prepare_csr_blocks(
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     sym = fwd.unionByName(rev)
     unit = bool(unit_weights)
+    layout = "modulo"
+    block_sizes: list[int] = []
     if int_ids is not None:
         n = int(int_ids)
         outw = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
@@ -344,6 +346,47 @@ def prepare_csr_blocks(
                 (F.col("weight") / F.col("out_w")).alias("wn"),
             )
         id_map_path = None
+
+        # ---- degree-aware balanced dst→block assignment (hub skew) ----
+        # Hub destinations make modulo blocks unequal; at P cores the
+        # superstep waits for the heaviest block.  LPT bin-packing of
+        # dsts by in-degree equalizes per-block edge counts explicitly
+        # (the north_rule's "skewed hubs range-partitioned explicitly");
+        # each block keeps a local→global index sidecar for the driver's
+        # scatter.  The in-degree aggregate is one map-side-combined
+        # groupBy; the assignment itself is an O(V log B) driver pass.
+        import heapq
+
+        indeg = sym.groupBy("dst").agg(F.count(F.lit(1)).alias("c")).toPandas()
+        dsts = indeg["dst"].to_numpy(dtype=np.int64)
+        cnts = indeg["c"].to_numpy(dtype=np.int64)
+        order = np.argsort(-cnts, kind="stable")
+        block_of = np.empty(len(dsts), dtype=np.int32)
+        loc_of = np.empty(len(dsts), dtype=np.int64)
+        heap = [(0, b) for b in range(n_blocks)]
+        heapq.heapify(heap)
+        fill = [0] * n_blocks
+        for i in order:
+            load, b = heapq.heappop(heap)
+            block_of[i] = b
+            loc_of[i] = fill[b]
+            fill[b] += 1
+            heapq.heappush(heap, (load + int(cnts[i]), b))
+        npy_dir_early = _os.path.join(out_dir, "npy")
+        _os.makedirs(npy_dir_early, exist_ok=True)
+        for b in range(n_blocks):
+            sel = block_of == b
+            l2g = np.empty(int(sel.sum()), dtype=np.int64)
+            l2g[loc_of[sel]] = dsts[sel]
+            np.save(_os.path.join(npy_dir_early, f"l2g_{b}.npy"), l2g)
+            block_sizes.append(len(l2g))
+        map_pdf = pd.DataFrame(
+            {"dst_idx": dsts.astype(np.int32), "block": block_of,
+             "dst_loc": loc_of.astype(np.int32)}
+        )
+        map_df = spark.createDataFrame(map_pdf)
+        norm = norm.join(F.broadcast(map_df), "dst_idx").drop("dst_idx")
+        layout = "balanced"
     else:
         unit = False
         w = Window.orderBy("node_id")
@@ -367,14 +410,15 @@ def prepare_csr_blocks(
                 (F.col("weight") / F.col("out_w")).alias("wn"),
             )
         )
-    # store the LOCAL dst index (dst // n_blocks) — the block id already
-    # encodes dst % n_blocks, and the kernel bincounts straight into its
-    # local slice without a per-superstep division pass
-    norm = norm.withColumn(
-        "block", F.pmod(F.col("dst_idx"), F.lit(n_blocks)).cast("int")
-    ).withColumn(
-        "dst_loc", (F.col("dst_idx") / F.lit(n_blocks)).cast("int")
-    ).drop("dst_idx")
+    if layout == "modulo":
+        # store the LOCAL dst index (dst // n_blocks) — the block id
+        # already encodes dst % n_blocks, and the kernel bincounts
+        # straight into its local slice without a per-superstep division
+        norm = norm.withColumn(
+            "block", F.pmod(F.col("dst_idx"), F.lit(n_blocks)).cast("int")
+        ).withColumn(
+            "dst_loc", (F.col("dst_idx") / F.lit(n_blocks)).cast("int")
+        ).drop("dst_idx")
     (
         norm.repartition(n_blocks, "block")
         .write.mode("overwrite")
@@ -385,8 +429,54 @@ def prepare_csr_blocks(
         .parquet(f"{out_dir}/blocks")
     )
     n_edges = spark.read.parquet(f"{out_dir}/blocks").count()
+
+    # npy sidecars: raw little-endian arrays that workers np.load with
+    # mmap_mode='r' — zero-copy views over the (shared) OS page cache, so
+    # N workers hold the edge data once, with no per-task decode or
+    # first-touch page-fault churn.  Parquet remains the portable source.
+    import glob as _glob
+
+    npy_dir = _os.path.join(out_dir, "npy")
+    _os.makedirs(npy_dir, exist_ok=True)
+    cols = ["src_idx", "dst_loc"] + ([] if unit else ["wn"])
+    bf: dict[int, list[str]] = {}
+    for p in _glob.glob(f"{out_dir}/blocks/block=*/*.parquet"):
+        b = int(p.split("block=")[1].split("/")[0])
+        bf.setdefault(b, []).append(p)
+
+    def _to_npy(bids, _bf=bf, _cols=cols, _dir=npy_dir):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for bid in bids:
+            fs = _bf.get(bid, [])
+            if not fs:
+                continue
+            tbls = [pq.read_table(f, columns=_cols, use_threads=False) for f in fs]
+            t = tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+            arrs = {c: t[c].to_numpy() for c in _cols}
+            # sort the block by src: the kernel's ranks[src] gather becomes
+            # monotonic (streaming) instead of random — the rank vector is
+            # read once per block rather than thrashing the cache
+            order = np.argsort(arrs["src_idx"], kind="stable")
+            for c in _cols:
+                a = arrs[c][order]
+                if c == "dst_loc" and len(a) and a.max() < 65536:
+                    # block-local index fits uint16 → 25% less streamed
+                    # bytes per edge in the superstep kernel
+                    a = a.astype(np.uint16)
+                np.save(_os.path.join(_dir, f"block_{bid}_{c}.npy"), a)
+            yield bid
+
+    converted = (
+        spark.sparkContext.parallelize(list(range(n_blocks)), n_blocks)
+        .mapPartitions(_to_npy)
+        .count()
+    )
     meta = {"n_nodes": n, "n_edges": int(n_edges), "n_blocks": n_blocks,
-            "unit_weights": unit, "id_map_path": id_map_path}
+            "unit_weights": unit, "npy_blocks": int(converted),
+            "layout": layout, "block_sizes": block_sizes,
+            "id_map_path": id_map_path}
     with open(_os.path.join(out_dir, "meta.json"), "w") as f:
         _json.dump(meta, f)
     return meta
@@ -458,6 +548,17 @@ def ppr_from_blocks(
     # workers, each may cache at most budget/P (see _worker_cache)
     cache_limit = int(worker_cache_budget_mb * 1024 * 1024 / max(sc.defaultParallelism, 1))
 
+    layout = meta.get("layout", "modulo")
+    if layout == "balanced":
+        l2g = {
+            b: np.load(_os.path.join(blocks_dir, "npy", f"l2g_{b}.npy"))
+            for b in range(n_blocks)
+        }
+        loc_lens = {b: len(l2g[b]) for b in range(n_blocks)}
+    else:
+        l2g = None
+        loc_lens = {b: (n - b + n_blocks - 1) // n_blocks for b in range(n_blocks)}
+
     ranks = r_reset.copy()
     start_it = 0
     if resume and store is not None and store.latest_step() is not None:
@@ -475,26 +576,37 @@ def ppr_from_blocks(
         t0 = time.time()
         bc = sc.broadcast(ranks)
 
-        def step_fn(bids, _bc=bc, _binv=bc_inv, _n=n, _nb=n_blocks,
-                    _files=block_files, _unit=unit, _cols=cols, _lim=cache_limit):
+        npy_dir = _os.path.join(blocks_dir, "npy") if meta.get("npy_blocks") else None
+
+        def step_fn(bids, _bc=bc, _binv=bc_inv, _lens=loc_lens,
+                    _files=block_files, _unit=unit, _cols=cols, _lim=cache_limit,
+                    _npy=npy_dir):
             from hipporag_spark._worker_cache import block_contrib, get_block
 
             for bid in bids:
                 fs = _files.get(bid, [])
                 if not fs:
                     continue
-                arrs = get_block((blocks_dir, bid), fs, _cols, limit_bytes=_lim)
+                arrs = get_block((blocks_dir, bid), fs, _cols, limit_bytes=_lim,
+                                 npy_dir=_npy)
                 si, dloc = arrs[0], arrs[1]
-                loc_len = (_n - bid + _nb - 1) // _nb
                 scale = _binv.value if _unit else arrs[2]
-                yield (bid, block_contrib(si, dloc, _bc.value, scale, loc_len, _unit))
+                yield (bid, block_contrib(si, dloc, _bc.value, scale,
+                                          _lens[bid], _unit))
 
+        # one task per core: each task sweeps its share of the (balanced)
+        # blocks sequentially — removes per-wave dispatch overhead and
+        # last-wave raggedness at low core counts
+        n_tasks = min(n_blocks, sc.defaultParallelism)
         parts = (
-            sc.parallelize(range(n_blocks), n_blocks).mapPartitions(step_fn).collect()
+            sc.parallelize(range(n_blocks), n_tasks).mapPartitions(step_fn).collect()
         )
         contrib = np.zeros(n, dtype=np.float64)
         for bid, local in parts:
-            contrib[bid::n_blocks] = local
+            if l2g is not None:
+                contrib[l2g[bid]] = local
+            else:
+                contrib[bid::n_blocks] = local
         bc.destroy()
         dm = float(ranks[dangling].sum())
         new = damping * (contrib + dm * r_reset) + (1.0 - damping) * r_reset
