@@ -33,6 +33,7 @@ from hipporag_spark.ppr import personalized_pagerank
 from hipporag_spark.components import connected_components
 from hipporag_spark.lpa import label_propagation
 from hipporag_spark.multimodal import attach_media, decode_features
+from hipporag_spark.evaluation import qa_exact_match, recall_at_k
 from hipporag_spark.retrieve import GraphRetriever, RetrievalConfig
 
 SEED_PHRASES = ["key", "row", "table"]
@@ -285,6 +286,59 @@ def q_fingerprints(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir), n=3)
 
 
+def _occurrences(token):
+    """#occurrences of `token` in text — identical formula in both engines:
+    (len(text) - len(replace(text, token, ''))) / len(token)."""
+    return (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(token))))
+        / F.lit(len(token))
+    ).cast("int")
+
+
+def q_eval_recall(spark, sf_dir):
+    """recall_at_k over a deterministic token-frequency retrieval: per query
+    token, docs ranked by occurrence count; gold = docs with ≥2 occurrences."""
+    docs = _docs(spark, sf_dir)
+    frames = []
+    golds = []
+    for tok in ["key", "table", "row"]:
+        occ = docs.select(
+            F.lit(tok).alias("query_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            _occurrences(tok).alias("occ"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("occ"), F.asc("doc_id"))
+        frames.append(
+            occ.where(F.col("occ") >= 1)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20)
+            .select("query_id", "doc_id", "rank")
+        )
+        golds.append(occ.where(F.col("occ") >= 2).select("query_id", "doc_id"))
+    retrieved = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    gold = golds[0].unionByName(golds[1]).unionByName(golds[2])
+    out = recall_at_k(retrieved, gold, ks=[1, 5, 10, 20])
+    return out.select("k", F.round("recall", 9).alias("recall"))
+
+
+def q_qa_em(spark, sf_dir):
+    """qa_exact_match pooled over per-doc answer/gold pairs: gold is the
+    doc text for even doc_ids and the word-reversed text for odd ones."""
+    docs = _docs(spark, sf_dir)
+    answers = docs.select(
+        F.col("doc_id").cast("string").alias("query_id"), F.col("text").alias("answer")
+    )
+    golds = docs.select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.array_join(F.reverse(F.split(F.col("text"), " ")), " "))
+        .alias("gold_answer"),
+    )
+    return qa_exact_match(answers, golds).select(
+        F.round("exact_match", 9).alias("exact_match")
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; igraph oracles live in tests/)
 # --------------------------------------------------------------------------
@@ -382,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
+        "eval_recall": q_eval_recall,
+        "qa_em": q_qa_em,
         "ppr_scores": q_ppr_scores,
         "components": q_components,
         "lpa": q_lpa,
@@ -654,4 +710,46 @@ def oracle_sql() -> dict[str, str]:
                   FROM qarr, unnest(range(1, len(arr) - 1)) AS i(i) GROUP BY 1)
             SELECT q.doc_id, sha256(q.text) AS content_sha, g.mg AS min_shingle_hash
             FROM qarr q LEFT JOIN g ON g.doc_id = q.doc_id""",
+        "eval_recall": """
+            WITH toks(tok) AS (VALUES ('key'), ('table'), ('row')),
+            occ AS (SELECT t.tok AS query_id, d.doc_id::VARCHAR AS doc_id,
+                    ((length(d.text) - length(replace(d.text, t.tok, '')))
+                     / length(t.tok))::INT AS occ
+                    FROM documents d, toks t),
+            retrieved AS (SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY occ DESC, doc_id) AS rank
+                FROM occ WHERE occ >= 1) WHERE rank <= 20),
+            gold AS (SELECT query_id, doc_id FROM occ WHERE occ >= 2),
+            gold_sizes AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY 1),
+            hits AS (SELECT r.query_id, r.rank FROM retrieved r
+                     JOIN gold g ON g.query_id = r.query_id AND g.doc_id = r.doc_id),
+            ks(k) AS (VALUES (1), (5), (10), (20)),
+            hc AS (SELECT ks.k, h.query_id, count(*) AS n_hit
+                   FROM ks JOIN hits h ON h.rank <= ks.k GROUP BY 1, 2),
+            pooled AS (SELECT ks.k,
+                              avg(coalesce(hc.n_hit, 0)::DOUBLE / gs.n_gold) AS recall
+                       FROM ks CROSS JOIN gold_sizes gs
+                       LEFT JOIN hc ON hc.k = ks.k AND hc.query_id = gs.query_id
+                       GROUP BY 1)
+            SELECT k, round(recall, 9) AS recall FROM pooled""",
+        "qa_em": """
+            WITH pairs AS (
+                SELECT doc_id::VARCHAR AS query_id, text AS answer,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            ELSE array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                       END AS gold_answer
+                FROM documents),
+            norm AS (SELECT query_id,
+                trim(regexp_replace(regexp_replace(regexp_replace(lower(answer),
+                     '[^a-z0-9 ]', ' ', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
+                     ' +', ' ', 'g')) AS na,
+                trim(regexp_replace(regexp_replace(regexp_replace(lower(gold_answer),
+                     '[^a-z0-9 ]', ' ', 'g'), '\\b(a|an|the)\\b', ' ', 'g'),
+                     ' +', ' ', 'g')) AS ng
+                FROM pairs),
+            per AS (SELECT query_id, max(CASE WHEN na = ng THEN 1.0 ELSE 0.0 END) AS em
+                    FROM norm GROUP BY 1)
+            SELECT round(avg(em), 9) AS exact_match FROM per""",
     }
