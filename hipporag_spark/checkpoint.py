@@ -46,12 +46,17 @@ class CheckpointStore:
 
     def write(self, step: int, ranks: DataFrame, metrics: dict, partitions: list[dict] | None = None) -> None:
         d = self._step_dir(step)
+        # parent = the previous checkpoint actually on disk (batched runs
+        # checkpoint at batch boundaries, not every superstep)
+        parent = self.latest_step()
+        if parent is not None and parent >= step:
+            parent = None
         ranks.write.mode("overwrite").parquet(os.path.join(d, "ranks.parquet"))
         manifest = {
             "step": step,
             "metrics": metrics,
             "partitions": partitions or [],
-            "parent": step - 1 if step > 0 else None,
+            "parent": parent,
         }
         tmp = os.path.join(d, "manifest.json.tmp")
         with open(tmp, "w") as f:

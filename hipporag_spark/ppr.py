@@ -482,6 +482,76 @@ def prepare_csr_blocks(
     return meta
 
 
+def _load_blocks_ctx(spark: SparkSession, blocks_dir: str, reset_idx) -> dict:
+    """Shared setup for the block superstep paths: meta, block file map,
+    clamped+normalized reset vector, out-weight/dangling sidecar, layout."""
+    import glob
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(blocks_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    n = int(meta["n_nodes"])
+    n_blocks = int(meta["n_blocks"])
+
+    block_files: dict[int, list[str]] = {}
+    for p in glob.glob(f"{blocks_dir}/blocks/block=*/*.parquet"):
+        b = int(p.split("block=")[1].split("/")[0])
+        block_files.setdefault(b, []).append(p)
+
+    r_reset = np.asarray(reset_idx, dtype=np.float64)
+    r_reset = np.where(np.isnan(r_reset) | (r_reset < 0), 0.0, r_reset)
+    total = r_reset.sum()
+    if total <= 0:
+        raise ValueError("reset vector sums to 0 after NaN/negative clamping")
+    r_reset = r_reset / total
+
+    # out-weight sidecar: dangling mask + (unit-weight layout) the 1/out_w
+    # vector the kernel folds into the gather.  Driver-materialized — fine
+    # to ~1e8 nodes; beyond that it would shard like the rank vector.
+    owpdf = spark.read.parquet(f"{blocks_dir}/outw").toPandas()
+    out_w = np.zeros(n, dtype=np.float64)
+    out_w[owpdf["idx"].to_numpy()] = owpdf["out_w"].to_numpy(dtype=np.float64)
+    dangling = out_w <= 0.0
+    unit = bool(meta.get("unit_weights"))
+    inv_w = np.zeros(n, dtype=np.float64)
+    nz = ~dangling
+    inv_w[nz] = 1.0 / out_w[nz]
+    cols = ("src_idx", "dst_loc") if unit else ("src_idx", "dst_loc", "wn")
+
+    layout = meta.get("layout", "modulo")
+    if layout == "balanced":
+        l2g = {
+            b: np.load(_os.path.join(blocks_dir, "npy", f"l2g_{b}.npy"))
+            for b in range(n_blocks)
+        }
+        loc_lens = {b: len(l2g[b]) for b in range(n_blocks)}
+    else:
+        l2g = None
+        loc_lens = {b: (n - b + n_blocks - 1) // n_blocks for b in range(n_blocks)}
+
+    return {
+        "n": n, "n_blocks": n_blocks, "n_edges": int(meta["n_edges"]),
+        "meta": meta, "block_files": block_files, "r_reset": r_reset,
+        "dangling": dangling, "unit": unit, "inv_w": inv_w, "cols": cols,
+        "l2g": l2g, "loc_lens": loc_lens,
+        "npy_dir": _os.path.join(blocks_dir, "npy") if meta.get("npy_blocks") else None,
+    }
+
+
+def _resume_state(spark, store, resume, r_reset, n):
+    ranks = r_reset.copy()
+    start_it = 0
+    if resume and store is not None and store.latest_step() is not None:
+        step = store.latest_step()
+        rdf, _m = store.read(spark, step)
+        rpdf = rdf.orderBy("idx").toPandas()
+        ranks = np.zeros(n, dtype=np.float64)
+        ranks[rpdf["idx"].to_numpy()] = rpdf["rank"].to_numpy(dtype=np.float64)
+        start_it = step + 1
+    return ranks, start_it
+
+
 def ppr_from_blocks(
     spark: SparkSession,
     blocks_dir: str,
@@ -507,76 +577,33 @@ def ppr_from_blocks(
     via :mod:`hipporag_spark._worker_cache` (per-process cache; repeat
     supersteps on a reused worker are memory-speed) — the JVM↔Python
     channel never carries edge data.
+
+    One Spark job is launched per superstep (~0.2-0.4 s of scheduler
+    latency on this sandbox); :func:`ppr_from_blocks_batched` amortizes
+    that over K supersteps per job and is the throughput-bench path.
     """
-    import glob
-    import json as _json
+    ctx = _load_blocks_ctx(spark, blocks_dir, reset_idx)
+    n, n_blocks, n_edges = ctx["n"], ctx["n_blocks"], ctx["n_edges"]
+    block_files, r_reset = ctx["block_files"], ctx["r_reset"]
+    dangling, unit, inv_w = ctx["dangling"], ctx["unit"], ctx["inv_w"]
+    cols, l2g, loc_lens = ctx["cols"], ctx["l2g"], ctx["loc_lens"]
+    sc = spark.sparkContext
     import os as _os
 
-    with open(_os.path.join(blocks_dir, "meta.json")) as f:
-        meta = _json.load(f)
-    n = int(meta["n_nodes"])
-    n_blocks = int(meta["n_blocks"])
-    n_edges = int(meta["n_edges"])
-    sc = spark.sparkContext
-
-    block_files: dict[int, list[str]] = {}
-    for p in glob.glob(f"{blocks_dir}/blocks/block=*/*.parquet"):
-        b = int(p.split("block=")[1].split("/")[0])
-        block_files.setdefault(b, []).append(p)
-
-    r_reset = np.asarray(reset_idx, dtype=np.float64)
-    r_reset = np.where(np.isnan(r_reset) | (r_reset < 0), 0.0, r_reset)
-    total = r_reset.sum()
-    if total <= 0:
-        raise ValueError("reset vector sums to 0 after NaN/negative clamping")
-    r_reset = r_reset / total
-
-    # out-weight sidecar: dangling mask + (unit-weight layout) the 1/out_w
-    # vector the kernel folds into the gather.  Driver-materialized — fine
-    # to ~1e8 nodes; beyond that it would shard like the rank vector.
-    owpdf = spark.read.parquet(f"{blocks_dir}/outw").toPandas()
-    out_w = np.zeros(n, dtype=np.float64)
-    out_w[owpdf["idx"].to_numpy()] = owpdf["out_w"].to_numpy(dtype=np.float64)
-    dangling = out_w <= 0.0
-    unit = bool(meta.get("unit_weights"))
-    inv_w = np.zeros(n, dtype=np.float64)
-    nz = ~dangling
-    inv_w[nz] = 1.0 / out_w[nz]
     bc_inv = sc.broadcast(inv_w) if unit else None
-    cols = ("src_idx", "dst_loc") if unit else ("src_idx", "dst_loc", "wn")
     # per-worker cache share: the cache budget is global — with P reused
     # workers, each may cache at most budget/P (see _worker_cache)
     cache_limit = int(worker_cache_budget_mb * 1024 * 1024 / max(sc.defaultParallelism, 1))
 
-    layout = meta.get("layout", "modulo")
-    if layout == "balanced":
-        l2g = {
-            b: np.load(_os.path.join(blocks_dir, "npy", f"l2g_{b}.npy"))
-            for b in range(n_blocks)
-        }
-        loc_lens = {b: len(l2g[b]) for b in range(n_blocks)}
-    else:
-        l2g = None
-        loc_lens = {b: (n - b + n_blocks - 1) // n_blocks for b in range(n_blocks)}
-
-    ranks = r_reset.copy()
-    start_it = 0
-    if resume and store is not None and store.latest_step() is not None:
-        step = store.latest_step()
-        rdf, _m = store.read(spark, step)
-        rpdf = rdf.orderBy("idx").toPandas()
-        ranks = np.zeros(n, dtype=np.float64)
-        ranks[rpdf["idx"].to_numpy()] = rpdf["rank"].to_numpy(dtype=np.float64)
-        start_it = step + 1
+    ranks, start_it = _resume_state(spark, store, resume, r_reset, n)
 
     metrics: list[dict] = []
     converged = False
     it = start_it
+    npy_dir = ctx["npy_dir"]
     for it in range(start_it, max_iter):
         t0 = time.time()
         bc = sc.broadcast(ranks)
-
-        npy_dir = _os.path.join(blocks_dir, "npy") if meta.get("npy_blocks") else None
 
         def step_fn(bids, _bc=bc, _binv=bc_inv, _lens=loc_lens,
                     _files=block_files, _unit=unit, _cols=cols, _lim=cache_limit,
@@ -630,6 +657,278 @@ def ppr_from_blocks(
     out = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": ranks}))
     return PPRResult(out.select(F.col("idx").cast("string").alias("node_id"), "score"),
                      it + 1, converged, metrics)
+
+
+def _wait_paths(paths, deadline_s: float = 600.0) -> None:
+    """Spin until every path exists (atomic-rename visibility), with
+    exponential backoff bounded at 2 ms.  Raises on deadline so a hung
+    peer fails the whole barrier stage (Spark then retries the gang)."""
+    import os as _os
+    import time as _t
+
+    t0 = _t.time()
+    sleep = 1e-4
+    missing = list(paths)
+    while missing:
+        missing = [p for p in missing if not _os.path.exists(p)]
+        if not missing:
+            return
+        if _t.time() - t0 > deadline_s:
+            raise RuntimeError(f"superstep sync timed out waiting for {missing[:3]}...")
+        _t.sleep(sleep)
+        sleep = min(sleep * 1.5, 2e-3)
+
+
+def _atomic_save(path: str, arr) -> None:
+    import os as _os
+
+    tmp = path + ".tmp.npy"
+    np.save(tmp, arr)
+    _os.replace(tmp, path)
+
+
+def ppr_from_blocks_batched(
+    spark: SparkSession,
+    blocks_dir: str,
+    reset_idx: np.ndarray,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 500,
+    store: CheckpointStore | None = None,
+    resume: bool = False,
+    supersteps_per_job: int = 16,
+    exchange_dir: str | None = None,
+    worker_cache_budget_mb: int = 24576,
+) -> PPRResult:
+    """Gang-scheduled superstep batches — the throughput path.
+
+    :func:`ppr_from_blocks` launches one Spark job per superstep; on this
+    sandbox a bare 32-task job costs ~0.2-0.4 s of scheduler+RPC latency,
+    which caps scaling efficiency long before the kernel does.  Here ONE
+    barrier-mode job (``rdd.barrier()``, all-or-nothing gang scheduling)
+    runs up to ``supersteps_per_job`` supersteps.  Per superstep, each
+    task writes ONE atomically-renamed ``.npy`` file holding the
+    concatenated contribution slices of its dst-blocks, then consumes its
+    peers' files incrementally as they appear (assembly overlaps the
+    straggler wait), assembles the full next-rank vector privately, and
+    applies the damping/dangling/reset blend locally — every task derives
+    bit-identical state, so convergence decisions need no coordinator.
+    This is the same structure a 1000-executor deployment uses to
+    amortize scheduler latency: slices live on shared storage (an
+    all-to-all of ``8·n`` bytes per superstep, the minimum any PPR
+    superstep must exchange) and double as per-partition checkpoint
+    state; the driver checkpoints batch boundaries through ``store``
+    (Iceberg-style manifest + lineage), so a killed job resumes from the
+    last completed batch.
+
+    A shared writable mmap for the rank vector was tried and rejected:
+    concurrently gathering from pages another process keeps dirtying
+    halves kernel throughput (write-protect fault + TLB-shootdown churn);
+    private per-task assembly from read-only slice files is faster and
+    carries no single-host assumption.
+
+    igraph-parity semantics are identical to :func:`ppr_from_blocks`
+    (same kernel, same blend/dangling/L1 float ops in the same order);
+    cross-checked bitwise in ``tests/test_ppr_blocks.py``.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    ctx = _load_blocks_ctx(spark, blocks_dir, reset_idx)
+    n, n_blocks, n_edges = ctx["n"], ctx["n_blocks"], ctx["n_edges"]
+    block_files, r_reset = ctx["block_files"], ctx["r_reset"]
+    dangling, unit, inv_w = ctx["dangling"], ctx["unit"], ctx["inv_w"]
+    cols, l2g, loc_lens, npy_dir = ctx["cols"], ctx["l2g"], ctx["loc_lens"], ctx["npy_dir"]
+    sc = spark.sparkContext
+    n_tasks = min(n_blocks, sc.defaultParallelism)
+    existing = sorted(block_files.keys())
+    cache_limit = int(worker_cache_budget_mb * 1024 * 1024 / max(n_tasks, 1))
+
+    if exchange_dir is None:
+        # local mode: tmpfs — the exchange is transient all-to-all state,
+        # no reason to touch disk.  Cluster mode: must be shared storage.
+        if sc.master.startswith("local") and _os.path.isdir("/dev/shm"):
+            exchange_dir = "/dev/shm/hipporag_xchg"
+        else:
+            exchange_dir = _os.path.join(blocks_dir, "xchg")
+    xdir = _os.path.join(exchange_dir, _uuid.uuid4().hex[:10])
+    _os.makedirs(xdir, exist_ok=True)
+    _atomic_save(_os.path.join(xdir, "reset.npy"), r_reset)
+    _atomic_save(_os.path.join(xdir, "dangling_idx.npy"), np.flatnonzero(dangling))
+    if unit:
+        _atomic_save(_os.path.join(xdir, "inv_w.npy"), inv_w)
+
+    ranks, start_it = _resume_state(spark, store, resume, r_reset, n)
+
+    metrics: list[dict] = []
+    converged = False
+    it = start_it
+    while it < max_iter and not converged:
+        k_batch = min(supersteps_per_job, max_iter - it)
+        bdir = _os.path.join(xdir, f"b{it}")
+        _os.makedirs(bdir, exist_ok=True)
+        _atomic_save(_os.path.join(bdir, "rank_in.npy"), ranks)
+
+        def batch_fn(_pids, _bdir=bdir, _xdir=xdir, _it0=it, _k=k_batch,
+                     _nt=n_tasks, _nb=n_blocks, _existing=existing,
+                     _files=block_files, _lens=loc_lens, _l2g_dir=npy_dir,
+                     _unit=unit, _cols=cols, _lim=cache_limit, _npy=npy_dir,
+                     _n=n, _d=damping, _tol=tol, _bd=blocks_dir,
+                     _layout_balanced=(l2g is not None)):
+            import time as _t
+
+            from pyspark import BarrierTaskContext
+
+            from hipporag_spark._worker_cache import block_contrib, get_block
+
+            tctx = BarrierTaskContext.get()
+            pid = tctx.partitionId()
+            task_blocks = {t: [b for b in _existing if b % _nt == t]
+                           for t in range(_nt)}
+            my_blocks = task_blocks[pid]
+            reset_v = np.load(_os.path.join(_xdir, "reset.npy"))
+            dang_idx = np.load(_os.path.join(_xdir, "dangling_idx.npy"))
+            scale_node = np.load(_os.path.join(_xdir, "inv_w.npy")) if _unit else None
+            l2g_all = None
+            if _layout_balanced:
+                l2g_all = {b: np.load(_os.path.join(_l2g_dir, f"l2g_{b}.npy"))
+                           for b in _existing}
+            my_len = sum(_lens[b] for b in my_blocks)
+            slice_buf = np.empty(my_len, dtype=np.float64)
+            # reused per-step buffers: fresh 8·n-byte allocations every
+            # superstep would pay first-touch page faults + memset churn
+            contrib = np.empty(_n, dtype=np.float64)
+            tmp = np.empty(_n, dtype=np.float64)
+            diff = np.empty(_n, dtype=np.float64)
+
+            prev = np.load(_os.path.join(_bdir, "rank_in.npy"))
+            walls = []
+            phases = {"kernel_ms": 0.0, "consume_ms": 0.0, "blend_ms": 0.0}
+            steps_done = 0
+            stop = False
+            step_meta = []
+            for s in range(_k):
+                g = _it0 + s
+                t0 = _t.time()
+                off = 0
+                for b in my_blocks:
+                    arrs = get_block((_bd, b), _files.get(b, []), _cols,
+                                     limit_bytes=_lim, npy_dir=_npy)
+                    scale = scale_node if _unit else arrs[2]
+                    L = _lens[b]
+                    slice_buf[off:off + L] = block_contrib(
+                        arrs[0], arrs[1], prev, scale, L, _unit)
+                    off += L
+                _atomic_save(_os.path.join(_bdir, f"t_{g}_{pid}.npy"), slice_buf)
+                t1 = _t.time()
+                phases["kernel_ms"] += (t1 - t0) * 1000
+
+                # consume peer slice files as they land — assembly
+                # overlaps the straggler wait
+                contrib.fill(0.0)
+                pending = set(range(_nt))
+                deadline = _t.time() + 600.0
+                sleep = 1e-4
+                while pending:
+                    landed = []
+                    for t_ in pending:
+                        p = _os.path.join(_bdir, f"t_{g}_{t_}.npy")
+                        if _os.path.exists(p):
+                            # mmap: sequential one-shot read straight from
+                            # the page cache, no 8-byte-per-node heap copy
+                            arr = np.load(p, mmap_mode="r")
+                            o = 0
+                            for b in task_blocks[t_]:
+                                L = _lens[b]
+                                if _layout_balanced:
+                                    contrib[l2g_all[b]] = arr[o:o + L]
+                                else:
+                                    contrib[b::_nb] = arr[o:o + L]
+                                o += L
+                            landed.append(t_)
+                    pending.difference_update(landed)
+                    if pending:
+                        if landed:
+                            sleep = 1e-4
+                        if _t.time() > deadline:
+                            raise RuntimeError(
+                                f"superstep {g}: peers {sorted(pending)} missing")
+                        _t.sleep(sleep)
+                        sleep = min(sleep * 1.5, 2e-3)
+                t2 = _t.time()
+                phases["consume_ms"] += (t2 - t1) * 1000
+
+                # blend in reused buffers, float-op-for-float-op identical
+                # to the per-job path's
+                #   new = d·(contrib + dm·reset) + (1−d)·reset
+                dm = float(prev[dang_idx].sum())
+                np.multiply(reset_v, dm, out=tmp)
+                np.add(contrib, tmp, out=contrib)
+                np.multiply(contrib, _d, out=contrib)
+                np.multiply(reset_v, 1.0 - _d, out=tmp)
+                np.add(contrib, tmp, out=contrib)        # contrib ≡ new
+                np.subtract(contrib, prev, out=diff)
+                np.abs(diff, out=diff)
+                delta = float(diff.sum())
+                prev, contrib = contrib, prev            # ping-pong
+                stop = delta < _tol
+                step_meta.append({"l1_delta": delta, "dangling_mass": dm})
+                if pid == 0 and g > _it0:
+                    # every peer produced step g ⇒ nobody still reads g-1
+                    for t_ in range(_nt):
+                        old = _os.path.join(_bdir, f"t_{g - 1}_{t_}.npy")
+                        if _os.path.exists(old):
+                            _os.unlink(old)
+                phases["blend_ms"] += (_t.time() - t2) * 1000
+                walls.append((_t.time() - t0) * 1000)
+                steps_done += 1
+                if stop:
+                    break
+            out = {"pid": pid, "blocks": my_blocks, "wall_ms": walls,
+                   "phases": {k: round(v, 1) for k, v in phases.items()},
+                   "edges": int(sum(len(get_block((_bd, b), _files.get(b, []),
+                                                  _cols, limit_bytes=_lim,
+                                                  npy_dir=_npy)[0])
+                                    for b in my_blocks))}
+            if pid == 0:
+                yield ("result", prev, steps_done, step_meta, out)
+            else:
+                yield ("lineage", out)
+
+        parts = (
+            sc.parallelize(range(n_tasks), n_tasks)
+            .barrier()
+            .mapPartitions(batch_fn)
+            .collect()
+        )
+        result = next(p for p in parts if p[0] == "result")
+        _, ranks, steps_done, step_meta, out0 = result
+        batch_lineage = [out0] + [p[1] for p in parts if p[0] == "lineage"]
+        for s in range(steps_done):
+            m = {"superstep": it + s, "l1_delta": step_meta[s]["l1_delta"],
+                 "dangling_mass": step_meta[s]["dangling_mass"],
+                 "edges_processed": int(n_edges),
+                 "wall_ms": max(ln["wall_ms"][s] for ln in batch_lineage
+                                if s < len(ln["wall_ms"])),
+                 "mode": "csr_barrier"}
+            metrics.append(m)
+        it += steps_done
+        converged = step_meta[steps_done - 1]["l1_delta"] < tol if step_meta else False
+        if store is not None:
+            rdf = spark.createDataFrame(
+                pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "rank": ranks})
+            )
+            store.write(it - 1, rdf, metrics[-1], partitions=batch_lineage)
+        _shutil.rmtree(bdir, ignore_errors=True)
+
+    _shutil.rmtree(xdir, ignore_errors=True)
+    out = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": ranks})
+    )
+    return PPRResult(out.select(F.col("idx").cast("string").alias("node_id"), "score"),
+                     it, converged, metrics)
 
 
 # --------------------------------------------------------------------------

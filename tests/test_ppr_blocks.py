@@ -11,6 +11,7 @@ from hipporag_spark.checkpoint import CheckpointStore
 from hipporag_spark.ppr import (
     personalized_pagerank,
     ppr_from_blocks,
+    ppr_from_blocks_batched,
     prepare_csr_blocks,
 )
 
@@ -98,3 +99,51 @@ def test_blocks_reject_zero_reset(spark, tmp_path):
     prepare_csr_blocks(spark, edges, out, n_blocks=2, int_ids=N, unit_weights=True)
     with pytest.raises(ValueError):
         ppr_from_blocks(spark, out, np.zeros(N))
+
+
+@pytest.mark.parametrize("unit", [True, False])
+def test_batched_matches_per_job(spark, tmp_path, unit):
+    """Gang-scheduled K-supersteps-per-job path ≡ the per-job path bitwise
+    (same kernel and blend order)."""
+    edges = _random_edges(spark, seed=4, weighted=not unit)
+    out = str(tmp_path / f"blocks_batched_{unit}")
+    prepare_csr_blocks(spark, edges, out, n_blocks=4, int_ids=N, unit_weights=unit)
+    reset = np.zeros(N)
+    reset[[1, 200, 499]] = [0.25, 0.5, 0.25]
+
+    base = ppr_from_blocks(spark, out, reset, damping=0.85, tol=1e-11, max_iter=200)
+    got = ppr_from_blocks_batched(
+        spark, out, reset, damping=0.85, tol=1e-11, max_iter=200,
+        supersteps_per_job=7,
+    )
+    bv = base.ranks.toPandas().sort_values("node_id")["score"].to_numpy()
+    gv = got.ranks.toPandas().sort_values("node_id")["score"].to_numpy()
+    assert np.array_equal(bv, gv)  # bitwise: identical float ops in order
+    assert got.converged and got.iterations == base.iterations
+    assert all(m["mode"] == "csr_barrier" for m in got.metrics)
+
+
+def test_batched_checkpoint_resume(spark, tmp_path):
+    edges = _random_edges(spark, seed=5)
+    out = str(tmp_path / "blocks_batched_resume")
+    prepare_csr_blocks(spark, edges, out, n_blocks=4, int_ids=N, unit_weights=True)
+    reset = np.zeros(N)
+    reset[:3] = 1.0
+
+    full = ppr_from_blocks_batched(spark, out, reset, damping=0.85, tol=1e-11,
+                                   max_iter=200, supersteps_per_job=8)
+    store = CheckpointStore(str(tmp_path / "ckpt_b"))
+    ppr_from_blocks_batched(spark, out, reset, damping=0.85, tol=1e-11,
+                            max_iter=8, supersteps_per_job=8, store=store)
+    latest = store.latest_step()
+    assert latest == 7
+    # per-partition lineage recorded with the batch checkpoint
+    manifest = store.lineage()[-1]
+    assert manifest["partitions"] and all("wall_ms" in p for p in manifest["partitions"])
+    resumed = ppr_from_blocks_batched(spark, out, reset, damping=0.85, tol=1e-11,
+                                      max_iter=200, supersteps_per_job=8,
+                                      store=store, resume=True)
+    fv = full.ranks.toPandas().sort_values("node_id")["score"].to_numpy()
+    rv = resumed.ranks.toPandas().sort_values("node_id")["score"].to_numpy()
+    assert np.allclose(fv, rv, atol=1e-9)
+    assert resumed.metrics[0]["superstep"] == 8
