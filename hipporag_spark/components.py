@@ -48,7 +48,7 @@ def connected_components(
     extra_nodes: DataFrame | None = None,  # (node_id) — isolated vertices
     max_iter: int = 200,
     mode: str = "auto",
-    local_edge_limit: int = 100_000,
+    local_edge_limit: int = 2_000_000,
 ) -> CCResult:
     und = _undirected_pairs(edges).persist()
     n_edges = und.count()

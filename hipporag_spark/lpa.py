@@ -49,7 +49,7 @@ def label_propagation(
     edges: DataFrame,
     max_iter: int = 20,
     mode: str = "auto",
-    local_edge_limit: int = 100_000,
+    local_edge_limit: int = 2_000_000,
 ) -> LPAResult:
     sym = symmetrize(edges).where(F.col("src") != F.col("dst")).persist()
     n_sym = sym.count()

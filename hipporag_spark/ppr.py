@@ -106,7 +106,7 @@ def personalized_pagerank(
     tol: float = 1e-9,
     max_iter: int = 500,
     mode: str = "auto",
-    local_edge_limit: int = 50_000,
+    local_edge_limit: int = 2_000_000,
     csr_node_limit: int = 2_000_000,
     n_blocks: int | None = None,
     salt: int = 16,
@@ -155,7 +155,7 @@ def personalized_pagerank_batch(
     tol: float = 1e-9,
     max_iter: int = 500,
     mode: str = "auto",
-    local_edge_limit: int = 50_000,
+    local_edge_limit: int = 2_000_000,
     n_blocks: int | None = None,
 ) -> DataFrame:
     """Multi-query PPR: iterate a rank **matrix** (n_nodes × n_queries) so
