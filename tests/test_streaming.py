@@ -1,0 +1,79 @@
+"""Structured Streaming ingestion: micro-batches run the same incremental
+index path as batch ``index()`` — idempotent per content hash, graph state
+identical to a one-shot batch index of the same corpus."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hipporag_spark.engine import HippoIndex
+from hipporag_spark.streaming import corpus_stream, stream_index
+
+
+def _corpus_pdf(rows, start=0):
+    return pd.DataFrame(
+        [
+            {"repo": "org0/a", "path": f"src/f{start + i}.py",
+             "commit": f"c{start + i}", "lang": "py", "content": content}
+            for i, content in enumerate(rows)
+        ]
+    )
+
+
+DOCS_A = ["alpha beta gamma", "beta gamma delta", "delta epsilon"]
+DOCS_B = ["epsilon zeta", "zeta alpha"]
+
+
+@pytest.mark.usefixtures("spark")
+def test_stream_index_matches_batch(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # two parquet drops → two micro-batch arrivals
+    spark.createDataFrame(_corpus_pdf(DOCS_A)).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    spark.createDataFrame(_corpus_pdf(DOCS_B, start=len(DOCS_A))).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    streamed = HippoIndex(spark, str(tmp_path / "idx_stream"))
+    q = stream_index(
+        streamed,
+        corpus_stream(spark, str(in_dir), max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert len(q.batch_stats) >= 1
+
+    batch = HippoIndex(spark, str(tmp_path / "idx_batch"))
+    batch.index(spark.createDataFrame(_corpus_pdf(DOCS_A + DOCS_B)))
+
+    for table in ("chunks", "entities", "edges"):
+        s = streamed.cat.read(table).toPandas()
+        b = batch.cat.read(table).toPandas()
+        cols = sorted(s.columns)
+        s = s[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+
+def test_stream_index_idempotent_on_replay(spark, tmp_path):
+    in_dir = tmp_path / "in2"
+    in_dir.mkdir()
+    spark.createDataFrame(_corpus_pdf(DOCS_A)).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    idx = HippoIndex(spark, str(tmp_path / "idx_replay"))
+    for ckpt in ("ck1", "ck2"):  # fresh checkpoint ⇒ source replays from scratch
+        q = stream_index(
+            idx,
+            corpus_stream(spark, str(in_dir)),
+            checkpoint_dir=str(tmp_path / ckpt),
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+    chunks = idx.cat.read("chunks").toPandas()
+    assert len(chunks) == len(DOCS_A)  # content-hash upsert absorbed the replay
