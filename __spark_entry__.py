@@ -518,6 +518,49 @@ _TOKS_MAT = _TOKS.replace("toks AS (", "toks AS MATERIALIZED (")
 _PAIRS_MAT = _PAIRS.replace("counts AS (", "counts AS MATERIALIZED (")
 
 
+def _lsh_oracle_sql() -> str:
+    """Exact oracle for q_lsh_ann: the SRP hyperplanes are deterministic
+    (seed 11, 8×64 standard normals), so the bucket computation, Hamming-1
+    multiprobe and cosine re-rank are all literal-expressible in SQL."""
+    import numpy as np
+
+    planes = np.random.default_rng(11).standard_normal((8, 64))
+
+    def bucket_expr(col):
+        bits = []
+        for j in range(8):
+            lits = ", ".join(repr(float(x)) for x in planes[j])
+            bits.append(
+                f"CASE WHEN list_dot_product({col}, [{lits}]) > 0 "
+                f"THEN {1 << j} ELSE 0 END"
+            )
+        return " + ".join(bits)
+
+    cos_qk = _COS.format(a="p.qv", b="kb.kv")
+    return f"""
+        WITH k AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS kv FROM embeddings),
+        kb AS MATERIALIZED (
+            SELECT vec_id, kv, ({bucket_expr('kv')}) AS bucket FROM k),
+        qb AS (SELECT vec_id AS query_id, kv AS qv,
+                      ({bucket_expr('kv')}) AS bucket0
+               FROM k WHERE vec_id < 5),
+        probes AS (
+            SELECT query_id, qv,
+                   CASE WHEN t.j = -1 THEN bucket0
+                        ELSE xor(bucket0, (1 << t.j)) END AS bucket
+            FROM qb, unnest([-1, 0, 1, 2, 3, 4, 5, 6, 7]) AS t(j)),
+        cand AS (
+            SELECT DISTINCT p.query_id, kb.vec_id, {cos_qk} AS cos
+            FROM probes p JOIN kb USING (bucket)),
+        r AS (SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM cand)
+        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r
+        WHERE rank <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     corpus_path = "'org' || (doc_id % 7)::VARCHAR || '/src/f' || doc_id::VARCHAR || '.' || lang"
     simhash_votes = ", ".join(
@@ -695,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
             h AS (SELECT doc_id, md5(tok) AS h FROM tok),
             v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY 1)
             SELECT doc_id, ({simhash_assemble})::BIGINT AS simhash FROM v""",
+        "lsh_ann": _lsh_oracle_sql(),
         "embed_neardup": f"""
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
             s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
