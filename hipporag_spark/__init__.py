@@ -30,3 +30,34 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+from .session import get_spark  # noqa: E402
+from .corpus import corpus_from_documents, synthesize_corpus  # noqa: E402
+from .extract import extract_all  # noqa: E402
+from .graph import build_graph, symmetrize  # noqa: E402
+from .ppr import (  # noqa: E402
+    personalized_pagerank,
+    personalized_pagerank_batch,
+    ppr_from_blocks,
+    ppr_from_blocks_batched,
+    prepare_csr_blocks,
+)
+from .components import connected_components  # noqa: E402
+from .lpa import label_propagation  # noqa: E402
+from .triangles import triangle_count, triangle_list  # noqa: E402
+from .retrieve import GraphRetriever, RetrievalConfig  # noqa: E402
+from .engine import HippoIndex  # noqa: E402
+from .checkpoint import CheckpointStore  # noqa: E402
+from .streaming import corpus_stream, stream_index  # noqa: E402
+
+__all__ = [
+    "get_spark",
+    "corpus_from_documents", "synthesize_corpus", "extract_all",
+    "build_graph", "symmetrize",
+    "personalized_pagerank", "personalized_pagerank_batch",
+    "ppr_from_blocks", "ppr_from_blocks_batched", "prepare_csr_blocks",
+    "connected_components", "label_propagation",
+    "triangle_count", "triangle_list",
+    "GraphRetriever", "RetrievalConfig", "HippoIndex", "CheckpointStore",
+    "corpus_stream", "stream_index",
+]
