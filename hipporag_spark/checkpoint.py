@@ -47,10 +47,18 @@ class CheckpointStore:
     def write(self, step: int, ranks: DataFrame, metrics: dict, partitions: list[dict] | None = None) -> None:
         d = self._step_dir(step)
         # parent = the previous checkpoint actually on disk (batched runs
-        # checkpoint at batch boundaries, not every superstep)
+        # checkpoint at batch boundaries, not every superstep).  When
+        # overwriting an existing step (a re-run into the same store), keep
+        # that step's original parent so lineage() still walks the full
+        # chain instead of truncating at the overwrite.
         parent = self.latest_step()
         if parent is not None and parent >= step:
-            parent = None
+            prev_manifest = os.path.join(self._step_dir(step), "manifest.json")
+            if os.path.exists(prev_manifest):
+                with open(prev_manifest) as f:
+                    parent = json.load(f).get("parent")
+            else:
+                parent = None
         ranks.write.mode("overwrite").parquet(os.path.join(d, "ranks.parquet"))
         manifest = {
             "step": step,

@@ -6,15 +6,24 @@ dense matmul over query tiles × key blocks with two-level top-k (partial
 top-k per block, final top-k over the concatenation).  Spark-first shape
 (SURVEY.md §2.3 J7 / §2.5 T5):
 
-- key side stays distributed: ``mapInPandas`` over key blocks, each block
-  computing ``K_block @ Q_tileᵀ`` in numpy and emitting only its local
-  top-k rows per query (map-side pruning: a block of B keys emits ≤ k
-  rows per query, never B);
-- query side is tiled driver-side and broadcast per tile, bounding
-  executor memory at ``tile × dim`` floats regardless of query count;
+- **both sides stay distributed**: queries are hash-assigned to tiles,
+  keys to blocks, and every (tile × block) cell is one cogrouped
+  ``applyInPandas`` task computing ``K_block @ Q_tileᵀ`` in numpy and
+  emitting only its local top-k rows per query (map-side pruning: a
+  block of B keys emits ≤ k rows per query, never B).  The driver never
+  materializes either matrix — the round-1 ``toPandas()`` query tiling
+  was the repo's KNN scale-killer (VERDICT.md "What's wrong" #1);
+- per-pair scores are independent of the blocking (one float64 dot
+  product per (query, key) regardless of which cell computes it), so
+  results are bit-identical across tile/block counts;
 - final top-k via ``row_number`` window per query, ties pinned by
   ``key_id`` ascending for determinism (torch.topk tie order in the
   reference is unpinned; SURVEY.md §4.3.7).
+
+Replication cost is the usual block-nested-loop bound: queries shuffle
+``n_blocks`` copies, keys shuffle ``n_tiles`` copies — each cell needs
+one tile and one block resident, which is what bounds executor memory at
+``tile_size·dim + block·dim`` floats regardless of either table's size.
 
 :func:`synonym_edges` applies HippoRAG's acceptance rules on top
 (``HippoRAG.py:856-877``): query eligibility >2 alphanumeric chars
@@ -35,6 +44,88 @@ from pyspark.sql import functions as F
 from .extract import normalize_text
 
 
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return mat / nrm
+
+
+def _blocked_scores(
+    spark: SparkSession,
+    queries: DataFrame,
+    keys: DataFrame,
+    k: int,
+    tile_size: int,
+    n_blocks: int | None,
+    id_col: str,
+    vec_col: str,
+    emit_stats: bool,
+) -> DataFrame:
+    """(tile × block)-cogrouped partial top-k rows, plus (if
+    ``emit_stats``) one per-(query, block) stats row carrying the block's
+    min/max score — everything stays distributed."""
+    sc = spark.sparkContext
+    n_blocks = n_blocks or max(sc.defaultParallelism, 8)
+    n_queries = queries.count()
+    n_tiles = max(1, -(-n_queries // max(tile_size, 1)))
+
+    q_rep = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("tile", F.pmod(F.xxhash64("query_id"), F.lit(n_tiles)).cast("int"))
+        .withColumn("block", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    )
+    k_rep = (
+        keys.select(F.col(id_col).alias("key_id"), F.col(vec_col).alias("kvec"))
+        .withColumn("block", F.pmod(F.xxhash64("key_id"), F.lit(n_blocks)).cast("int"))
+        .withColumn("tile", F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))))
+    )
+
+    def cell_fn(qpdf: pd.DataFrame, kpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_id": pd.Series(dtype=object), "key_id": pd.Series(dtype=object),
+            "score": pd.Series(dtype=np.float64), "is_stat": pd.Series(dtype=bool),
+            "smin": pd.Series(dtype=np.float64), "smax": pd.Series(dtype=np.float64),
+        })
+        if not len(qpdf) or not len(kpdf):
+            return empty
+        q_ids = qpdf["query_id"].to_numpy()
+        k_ids = kpdf["key_id"].to_numpy()
+        q_mat = _normalized(np.stack(qpdf["qvec"].to_numpy()).astype(np.float64))
+        k_mat = _normalized(np.stack(kpdf["kvec"].to_numpy()).astype(np.float64))
+        sims = k_mat @ q_mat.T  # (block_keys, tile_queries)
+        kb = min(k, sims.shape[0])
+        part = np.argpartition(-sims, kb - 1, axis=0)[:kb]
+        out = pd.DataFrame({
+            "query_id": np.repeat(q_ids[None, :], kb, axis=0).ravel(),
+            "key_id": k_ids[part].ravel(),
+            "score": np.take_along_axis(sims, part, axis=0).ravel(),
+            "is_stat": False,
+            "smin": 0.0,
+            "smax": 0.0,
+        })
+        if emit_stats:
+            stats = pd.DataFrame({
+                "query_id": q_ids,
+                "key_id": "",
+                "score": 0.0,
+                "is_stat": True,
+                "smin": sims.min(axis=0),
+                "smax": sims.max(axis=0),
+            })
+            out = pd.concat([out, stats], ignore_index=True)
+        return out
+
+    return (
+        q_rep.groupBy("tile", "block")
+        .cogroup(k_rep.groupBy("tile", "block"))
+        .applyInPandas(
+            cell_fn,
+            schema="query_id string, key_id string, score double, "
+                   "is_stat boolean, smin double, smax double",
+        )
+    )
+
+
 def cosine_topk(
     spark: SparkSession,
     queries: DataFrame,  # (id string, embedding array<float>)
@@ -47,55 +138,14 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query: returns
     ``(query_id, key_id, score, rank)`` with rank 1..k per query."""
-    sc = spark.sparkContext
-    n_blocks = n_blocks or max(sc.defaultParallelism, 8)
-    keys_b = keys.select(
-        F.col(id_col).alias("key_id"), F.col(vec_col).alias("vec")
-    ).repartition(n_blocks).persist()
-    keys_b.count()
-
-    q_iter = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec"))
-    q_pdf_full = q_iter.toPandas()  # query tiling: driver holds ids + vectors tile-by-tile
-    results = []
-    for start in range(0, len(q_pdf_full), tile_size):
-        tile = q_pdf_full.iloc[start : start + tile_size]
-        q_ids = tile["query_id"].to_numpy()
-        q_mat = np.stack(tile["vec"].to_numpy()).astype(np.float64)
-        qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
-        qn[qn == 0] = 1.0
-        q_mat = q_mat / qn
-        bc = sc.broadcast((q_ids, q_mat))
-
-        def block_topk(batches, _bc=bc, _k=k):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                kk_ids = pdf["key_id"].to_numpy()
-                k_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-                kn = np.linalg.norm(k_mat, axis=1, keepdims=True)
-                kn[kn == 0] = 1.0
-                k_mat = k_mat / kn
-                qi, qm = _bc.value
-                sims = k_mat @ qm.T  # (block_keys, tile_queries)
-                kb = min(_k, sims.shape[0])
-                part = np.argpartition(-sims, kb - 1, axis=0)[:kb]  # per-query block top-k
-                rows = {
-                    "query_id": np.repeat(qi[None, :], kb, axis=0).ravel(),
-                    "key_id": kk_ids[part].ravel(),
-                    "score": np.take_along_axis(sims, part, axis=0).ravel(),
-                }
-                yield pd.DataFrame(rows)
-
-        part_df = keys_b.mapInPandas(block_topk, schema="query_id string, key_id string, score double")
-        results.append(part_df)
-        # tile results are unioned lazily; broadcasts cleaned up after action
-
-    all_parts = results[0]
-    for r in results[1:]:
-        all_parts = all_parts.unionByName(r)
+    parts = _blocked_scores(spark, queries, keys, k, tile_size, n_blocks,
+                            id_col, vec_col, emit_stats=False)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("key_id"))
-    out = all_parts.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
-    return out
+    return (
+        parts.select("query_id", "key_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def cosine_topk_with_stats(
@@ -111,77 +161,24 @@ def cosine_topk_with_stats(
     """Like :func:`cosine_topk` but additionally returns per-query global
     ``(min, max)`` over ALL key scores — needed by the reference's
     ``min_max_normalize`` (``misc_utils.py:106-115``) which normalizes over
-    the full score vector, not just the survivors.  Single pass: each key
-    block emits its local top-k rows plus one stats row per query; global
-    stats are a tiny agg, so the full q×K score matrix never materializes.
+    the full score vector, not just the survivors.  Single pass: each
+    (tile × block) cell emits its local top-k rows plus one stats row per
+    query; global stats are a tiny agg, so the full q×K score matrix never
+    materializes anywhere.
     """
-    sc = spark.sparkContext
-    n_blocks = n_blocks or max(sc.defaultParallelism, 8)
-    keys_b = keys.select(
-        F.col(id_col).alias("key_id"), F.col(vec_col).alias("vec")
-    ).repartition(n_blocks).persist()
-    keys_b.count()
-
-    q_pdf_full = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("vec")
-    ).toPandas()
-    top_parts, stat_parts = [], []
-    for start in range(0, len(q_pdf_full), tile_size):
-        tile = q_pdf_full.iloc[start : start + tile_size]
-        q_ids = tile["query_id"].to_numpy()
-        q_mat = np.stack(tile["vec"].to_numpy()).astype(np.float64)
-        qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
-        qn[qn == 0] = 1.0
-        q_mat = q_mat / qn
-        bc = sc.broadcast((q_ids, q_mat))
-
-        def block_kernel(batches, _bc=bc, _k=k):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                kk_ids = pdf["key_id"].to_numpy()
-                k_mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-                kn = np.linalg.norm(k_mat, axis=1, keepdims=True)
-                kn[kn == 0] = 1.0
-                k_mat = k_mat / kn
-                qi, qm = _bc.value
-                sims = k_mat @ qm.T
-                kb = min(_k, sims.shape[0])
-                part = np.argpartition(-sims, kb - 1, axis=0)[:kb]
-                yield pd.DataFrame({
-                    "query_id": np.repeat(qi[None, :], kb, axis=0).ravel(),
-                    "key_id": kk_ids[part].ravel(),
-                    "score": np.take_along_axis(sims, part, axis=0).ravel(),
-                    "is_stat": False,
-                    "smin": 0.0,
-                    "smax": 0.0,
-                })
-                yield pd.DataFrame({
-                    "query_id": qi,
-                    "key_id": "",
-                    "score": 0.0,
-                    "is_stat": True,
-                    "smin": sims.min(axis=0),
-                    "smax": sims.max(axis=0),
-                })
-
-        out = keys_b.mapInPandas(
-            block_kernel,
-            schema="query_id string, key_id string, score double, is_stat boolean, smin double, smax double",
-        ).persist()
-        out.count()
-        top_parts.append(out.where(~F.col("is_stat")).select("query_id", "key_id", "score"))
-        stat_parts.append(out.where(F.col("is_stat")).select("query_id", "smin", "smax"))
-
-    tops = top_parts[0]
-    stats = stat_parts[0]
-    for t, s in zip(top_parts[1:], stat_parts[1:]):
-        tops = tops.unionByName(t)
-        stats = stats.unionByName(s)
+    out = _blocked_scores(spark, queries, keys, k, tile_size, n_blocks,
+                          id_col, vec_col, emit_stats=True).persist()
+    out.count()
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("key_id"))
-    topk = tops.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
-    gstats = stats.groupBy("query_id").agg(
-        F.min("smin").alias("score_min"), F.max("smax").alias("score_max")
+    topk = (
+        out.where(~F.col("is_stat")).select("query_id", "key_id", "score")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    gstats = (
+        out.where(F.col("is_stat"))
+        .groupBy("query_id")
+        .agg(F.min("smin").alias("score_min"), F.max("smax").alias("score_max"))
     )
     return topk, gstats
 
@@ -206,10 +203,18 @@ def synonym_edges(
     topk: int = 2047,
     threshold: float = 0.8,
     max_neighbors: int = 101,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Entity→entity synonym edges ``(src, dst, weight, relation)`` per
-    HippoRAG's acceptance semantics (see module docstring)."""
-    eligible = entities.where(
+    HippoRAG's acceptance semantics (see module docstring).
+
+    ``queries``: optional subset of ``entities`` to use as the query side
+    — the incremental-indexing path passes only the batch's *new*
+    entities (the reference extends synonymy from newly inserted nodes,
+    ``HippoRAG.py:818-879``), so per-batch KNN work is
+    O(new × corpus), not O(corpus²)."""
+    qside = entities if queries is None else queries
+    eligible = qside.where(
         F.length(F.regexp_replace(F.col("phrase"), "[^A-Za-z0-9]", "")) > 2
     )
     knn = cosine_topk(

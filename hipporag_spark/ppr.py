@@ -156,16 +156,34 @@ def personalized_pagerank_batch(
     max_iter: int = 500,
     mode: str = "auto",
     local_edge_limit: int = 2_000_000,
-    n_blocks: int | None = None,
+    n_blocks: int | None = None,  # unused; kept for API compatibility
+    salt: int = 16,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
+    resume: bool = False,
 ) -> DataFrame:
-    """Multi-query PPR: iterate a rank **matrix** (n_nodes × n_queries) so
-    one pass over the edge table serves every query's superstep — the
-    retrieval path runs all queries of a batch in one iteration loop
-    instead of one PPR job per query (the reference loops queries
-    sequentially, ``HippoRAG.py:406``).  Returns
-    ``(query_id, node_id, score)``.  Convergence: max per-query L1 delta
+    """Multi-query PPR: one iteration loop serves every query's superstep —
+    the retrieval path runs all queries of a batch together instead of one
+    PPR job per query (the reference loops queries sequentially,
+    ``HippoRAG.py:406``).  Returns ``(query_id, node_id, score)`` for every
+    (universe node × query) pair.  Convergence: max per-query L1 delta
     < tol.  Semantics per query are identical to
     :func:`personalized_pagerank` (clamp, normalize, dangling, damping).
+
+    Two physical strategies:
+
+    ``mode='local'`` (auto when symmetrized edges ≤ ``local_edge_limit``)
+        One collect of the edge list; the (n_nodes × n_queries) rank
+        matrix iterates in driver numpy.  Small-graph fast path only.
+
+    ``mode='dataframe'`` (auto above the limit — the scale path)
+        Rank state is a distributed ``(query_id, node_id, rank)`` table;
+        each superstep is the same salted two-stage aggregation as the
+        single-query :func:`_run_dataframe`, keyed by (query_id, dst).
+        Nothing O(n_nodes × n_queries) ever materializes on the driver,
+        and the batch checkpoints/resumes through
+        :class:`~hipporag_spark.checkpoint.CheckpointStore` like the
+        single-query modes.
     """
     sym = symmetrize(edges).persist()
     w = F.col("reset_weight").cast("double")
@@ -174,115 +192,189 @@ def personalized_pagerank_batch(
         "node_id",
         F.when(F.isnan(w) | (w < 0), F.lit(0.0)).otherwise(w).alias("reset_weight"),
     )
-    endpoints = sym.select(F.col("src").alias("node_id")).distinct()
-    universe = endpoints.unionByName(resets_c.select("node_id")).distinct()
+    n_edges = sym.count()
+    if mode == "auto":
+        mode = "local" if n_edges <= local_edge_limit else "dataframe"
+    if mode == "csr":  # legacy alias for the pre-round-2 driver-matrix path
+        mode = "dataframe"
+    store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
 
-    # dense node index (same ordering rule as the single-query csr path)
-    widx = Window.orderBy("node_id")
-    idx = universe.withColumn("idx", F.row_number().over(widx) - 1).persist()
-    n = idx.count()
-    qids = [r["query_id"] for r in resets_c.select("query_id").distinct().orderBy("query_id").collect()]
+    if mode == "local":
+        out = _batch_local(spark, sym, resets_c, damping, tol, max_iter)
+    else:
+        out = _batch_dataframe(spark, sym, resets_c, damping, tol, max_iter,
+                               salt, store, checkpoint_every, resume)
+    sym.unpersist()
+    return out
+
+
+def _batch_local(spark, sym, resets_c, damping, tol, max_iter) -> DataFrame:
+    """Driver-numpy rank-matrix loop (small graphs).  Node order = sorted
+    node_id, query order = sorted query_id — the same deterministic
+    ordering the distributed path's output is compared against."""
+    epdf = sym.toPandas()
+    rpdf = resets_c.toPandas()
+    node_ids = np.unique(
+        np.concatenate([
+            epdf["src"].to_numpy(dtype=object),
+            rpdf["node_id"].to_numpy(dtype=object),
+        ])
+    )
+    pos = {k: i for i, k in enumerate(node_ids)}
+    n = len(node_ids)
+    qids = np.unique(rpdf["query_id"].to_numpy(dtype=object))
     qpos = {q: j for j, q in enumerate(qids)}
     nq = len(qids)
 
-    rpdf = resets_c.join(idx, "node_id").select("query_id", "idx", "reset_weight").toPandas()
     R = np.zeros((n, nq), dtype=np.float64)
     if len(rpdf):
-        R[rpdf["idx"].to_numpy(), rpdf["query_id"].map(qpos).to_numpy()] = rpdf[
-            "reset_weight"
-        ].to_numpy(dtype=np.float64)
+        R[rpdf["node_id"].map(pos).to_numpy(), rpdf["query_id"].map(qpos).to_numpy()] = (
+            rpdf["reset_weight"].to_numpy(dtype=np.float64)
+        )
     colsum = R.sum(axis=0)
     if (colsum <= 0).any():
         bad = [qids[j] for j in np.flatnonzero(colsum <= 0)]
         raise ValueError(f"reset vector sums to 0 for queries: {bad}")
     R = R / colsum
 
-    outw_df = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    norm = (
-        sym.join(outw_df.where(F.col("out_w") > 0), "src")
-        .join(idx.withColumnRenamed("node_id", "src").withColumnRenamed("idx", "src_idx"), "src")
-        .join(idx.withColumnRenamed("node_id", "dst").withColumnRenamed("idx", "dst_idx"), "dst")
-        .select("src_idx", "dst_idx", (F.col("weight") / F.col("out_w")).alias("wn"))
-    )
-    n_edges = sym.count()
-    sc = spark.sparkContext
-
-    has_out = np.zeros(n, dtype=bool)
-    owpdf = outw_df.where(F.col("out_w") > 0).join(idx.withColumnRenamed("node_id", "src"), "src").select("idx").toPandas()
-    has_out[owpdf["idx"].to_numpy()] = True
-    dangling = ~has_out
-
-    if mode == "auto":
-        mode = "local" if n_edges <= local_edge_limit else "csr"
+    src_i = epdf["src"].map(pos).to_numpy(dtype=np.int64)
+    dst_i = epdf["dst"].map(pos).to_numpy(dtype=np.int64)
+    wts = epdf["weight"].to_numpy(dtype=np.float64)
+    out_w = np.zeros(n, dtype=np.float64)
+    np.add.at(out_w, src_i, wts)
+    dangling = out_w <= 0.0
+    keep = out_w[src_i] > 0
+    src_i, dst_i = src_i[keep], dst_i[keep]
+    wn = wts[keep] / out_w[src_i]
 
     ranks = R.copy()
-    if mode == "local":
-        epdf = norm.toPandas()
-        src_i = epdf["src_idx"].to_numpy(dtype=np.int64)
-        dst_i = epdf["dst_idx"].to_numpy(dtype=np.int64)
-        wn = epdf["wn"].to_numpy(dtype=np.float64)
-        for _ in range(max_iter):
-            contrib = np.zeros((n, nq), dtype=np.float64)
-            for j in range(nq):
-                contrib[:, j] = np.bincount(dst_i, weights=ranks[src_i, j] * wn, minlength=n)
-            dm = ranks[dangling].sum(axis=0)
-            new = damping * (contrib + dm * R) + (1.0 - damping) * R
-            delta = np.abs(new - ranks).sum(axis=0).max()
-            ranks = new
-            if delta < tol:
-                break
-    else:  # csr
-        n_blocks = n_blocks or max(sc.defaultParallelism * 2, 8)
-        normb = norm.withColumn(
-            "block", F.pmod(F.col("src_idx"), F.lit(n_blocks)).cast("int")
-        ).repartition(n_blocks, "block").persist()
-        normb.count()
-        for _ in range(max_iter):
-            bc = sc.broadcast(ranks)
+    for _ in range(max_iter):
+        contrib = np.zeros((n, nq), dtype=np.float64)
+        for j in range(nq):
+            contrib[:, j] = np.bincount(dst_i, weights=ranks[src_i, j] * wn, minlength=n)
+        dm = ranks[dangling].sum(axis=0)
+        new = damping * (contrib + dm * R) + (1.0 - damping) * R
+        delta = np.abs(new - ranks).sum(axis=0).max()
+        ranks = new
+        if delta < tol:
+            break
 
-            def step_fn(batches, _bc=bc, _n=n, _nq=nq):
-                tot = None
-                for pdf in batches:
-                    r = _bc.value
-                    si = pdf["src_idx"].to_numpy()
-                    di = pdf["dst_idx"].to_numpy()
-                    ww = pdf["wn"].to_numpy()
-                    c = np.zeros((_n, _nq), dtype=np.float64)
-                    for j in range(_nq):
-                        c[:, j] = np.bincount(di, weights=r[si, j] * ww, minlength=_n)
-                    tot = c if tot is None else tot + c
-                if tot is not None:
-                    nz = np.flatnonzero(tot.any(axis=1))
-                    out = pd.DataFrame({"dst_idx": np.repeat(nz, _nq)})
-                    out["qj"] = np.tile(np.arange(_nq), len(nz))
-                    out["c"] = tot[nz].ravel()
-                    yield out[out["c"] != 0.0]
-
-            agg = (
-                normb.mapInPandas(step_fn, schema="dst_idx long, qj int, c double")
-                .groupBy("dst_idx", "qj").agg(F.sum("c").alias("c")).toPandas()
-            )
-            contrib = np.zeros((n, nq), dtype=np.float64)
-            if len(agg):
-                contrib[agg["dst_idx"].to_numpy(), agg["qj"].to_numpy()] = agg["c"].to_numpy()
-            bc.destroy()
-            dm = ranks[dangling].sum(axis=0)
-            new = damping * (contrib + dm * R) + (1.0 - damping) * R
-            delta = np.abs(new - ranks).sum(axis=0).max()
-            ranks = new
-            if delta < tol:
-                break
-        normb.unpersist()
-
-    ids_pdf = idx.orderBy("idx").toPandas()
-    node_ids = ids_pdf["node_id"].to_numpy()
     frames = []
     for j, q in enumerate(qids):
         frames.append(pd.DataFrame({"query_id": q, "node_id": node_ids, "score": ranks[:, j]}))
     out = spark.createDataFrame(pd.concat(frames, ignore_index=True))
-    sym.unpersist()
-    idx.unpersist()
     return out.select("query_id", "node_id", "score")
+
+
+def _batch_dataframe(spark, sym, resets_c, damping, tol, max_iter,
+                     salt, store, checkpoint_every, resume) -> DataFrame:
+    """Distributed multi-query PPR: rank state lives in a (query_id,
+    node_id, rank) table, supersteps are salted two-stage aggregations
+    keyed by (query_id, dst) — the hub-skew handling of
+    :func:`_run_dataframe` with the query id folded into the key.  The
+    driver only ever sees per-query scalar aggregates (L1 delta, dangling
+    mass), never the rank table."""
+    endpoints = sym.select(F.col("src").alias("node_id")).distinct()
+    universe = endpoints.unionByName(resets_c.select("node_id")).distinct().persist()
+
+    qsum = resets_c.groupBy("query_id").agg(F.sum("reset_weight").alias("s"))
+    bad = [r["query_id"] for r in qsum.where(F.col("s") <= 0).collect()]
+    if bad:
+        raise ValueError(f"reset vector sums to 0 for queries: {sorted(bad)}")
+    R = (
+        resets_c.join(qsum, "query_id")
+        .select("query_id", "node_id", (F.col("reset_weight") / F.col("s")).alias("reset_w"))
+        .where(F.col("reset_w") != 0.0)
+        .persist()
+    )
+
+    outw = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        sym.join(outw.where(F.col("out_w") > 0), "src")
+        .select(
+            "src", "dst",
+            (F.col("weight") / F.col("out_w")).alias("wn"),
+            F.pmod(F.xxhash64("src"), F.lit(salt)).alias("salt"),
+        )
+        .repartition(F.col("src"))
+        .persist()
+    )
+    norm.count()
+    dangling_ids = (
+        universe.join(outw.where(F.col("out_w") > 0).select(F.col("src").alias("node_id")),
+                      "node_id", "left_anti")
+        .persist()
+    )
+
+    ranks = R.select("query_id", "node_id", F.col("reset_w").alias("rank"))
+    start_it = 0
+    if resume and store is not None and store.latest_step() is not None:
+        step = store.latest_step()
+        ranks, _m = store.read(spark, step)
+        ranks = ranks.select("query_id", "node_id", "rank")
+        start_it = step + 1
+    ranks = ranks.persist()
+
+    converged = False
+    for it in range(start_it, max_iter):
+        contrib = (
+            norm.join(ranks.withColumnRenamed("node_id", "src"), "src")
+            .select("query_id", "dst", "salt", (F.col("rank") * F.col("wn")).alias("c"))
+            .groupBy("query_id", "dst", "salt")   # stage 1: salted partial sums
+            .agg(F.sum("c").alias("c"))
+            .groupBy("query_id", F.col("dst").alias("node_id"))  # stage 2: final
+            .agg(F.sum("c").alias("c"))
+        )
+        dm = (
+            ranks.join(dangling_ids, "node_id", "left_semi")
+            .groupBy("query_id").agg(F.sum("rank").alias("dm"))
+        )
+        new = (
+            contrib.join(R, ["query_id", "node_id"], "full_outer")
+            .join(dm, "query_id", "left")
+            .select(
+                "query_id", "node_id",
+                (
+                    F.lit(damping) * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.coalesce(F.col("dm"), F.lit(0.0))
+                        * F.coalesce(F.col("reset_w"), F.lit(0.0))
+                    )
+                    + F.lit(1.0 - damping) * F.coalesce(F.col("reset_w"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .where(F.col("rank") != 0.0)
+        )
+        new = new.localCheckpoint(eager=True)
+        delta_row = (
+            new.join(ranks.select("query_id", "node_id", F.col("rank").alias("old_rank")),
+                     ["query_id", "node_id"], "full_outer")
+            .groupBy("query_id")
+            .agg(F.sum(F.abs(F.coalesce(F.col("rank"), F.lit(0.0))
+                             - F.coalesce(F.col("old_rank"), F.lit(0.0)))).alias("d"))
+            .agg(F.max("d"))
+            .collect()[0][0]
+        )
+        delta = float(delta_row or 0.0)
+        ranks.unpersist()
+        ranks = new.select("query_id", "node_id", "rank").persist()
+        if store is not None and (it % checkpoint_every == 0 or delta < tol):
+            store.write(it, ranks, {"superstep": it, "l1_delta": delta,
+                                    "mode": "dataframe_batch"})
+        if delta < tol:
+            converged = True
+            break
+
+    # dense output (every universe node per query) — same contract as the
+    # local path; this is the result set itself, it never lands on the
+    # driver
+    qids_df = resets_c.select("query_id").distinct()
+    out = (
+        universe.crossJoin(qids_df)
+        .join(ranks, ["query_id", "node_id"], "left")
+        .select("query_id", "node_id", F.coalesce(F.col("rank"), F.lit(0.0)).alias("score"))
+    )
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -659,26 +751,6 @@ def ppr_from_blocks(
                      it + 1, converged, metrics)
 
 
-def _wait_paths(paths, deadline_s: float = 600.0) -> None:
-    """Spin until every path exists (atomic-rename visibility), with
-    exponential backoff bounded at 2 ms.  Raises on deadline so a hung
-    peer fails the whole barrier stage (Spark then retries the gang)."""
-    import os as _os
-    import time as _t
-
-    t0 = _t.time()
-    sleep = 1e-4
-    missing = list(paths)
-    while missing:
-        missing = [p for p in missing if not _os.path.exists(p)]
-        if not missing:
-            return
-        if _t.time() - t0 > deadline_s:
-            raise RuntimeError(f"superstep sync timed out waiting for {missing[:3]}...")
-        _t.sleep(sleep)
-        sleep = min(sleep * 1.5, 2e-3)
-
-
 def _atomic_save(path: str, arr) -> None:
     import os as _os
 
@@ -764,6 +836,32 @@ def ppr_from_blocks_batched(
 
     metrics: list[dict] = []
     converged = False
+    it = start_it
+    try:
+        it, ranks, converged = _batched_loop(
+            spark, sc, store, metrics, ranks, start_it, max_iter, converged,
+            supersteps_per_job, xdir, n, n_tasks, n_blocks, existing,
+            block_files, loc_lens, npy_dir, unit, cols, cache_limit,
+            blocks_dir, damping, tol, l2g, n_edges,
+        )
+    finally:
+        # any failure (peer timeout, task error, driver exception) must not
+        # leak rank/slice files into the tmpfs exchange dir
+        _shutil.rmtree(xdir, ignore_errors=True)
+    out = spark.createDataFrame(
+        pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": ranks})
+    )
+    return PPRResult(out.select(F.col("idx").cast("string").alias("node_id"), "score"),
+                     it, converged, metrics)
+
+
+def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converged,
+                  supersteps_per_job, xdir, n, n_tasks, n_blocks, existing,
+                  block_files, loc_lens, npy_dir, unit, cols, cache_limit,
+                  blocks_dir, damping, tol, l2g, n_edges):
+    import os as _os
+    import shutil as _shutil
+
     it = start_it
     while it < max_iter and not converged:
         k_batch = min(supersteps_per_job, max_iter - it)
@@ -923,12 +1021,7 @@ def ppr_from_blocks_batched(
             store.write(it - 1, rdf, metrics[-1], partitions=batch_lineage)
         _shutil.rmtree(bdir, ignore_errors=True)
 
-    _shutil.rmtree(xdir, ignore_errors=True)
-    out = spark.createDataFrame(
-        pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": ranks})
-    )
-    return PPRResult(out.select(F.col("idx").cast("string").alias("node_id"), "score"),
-                     it, converged, metrics)
+    return it, ranks, converged
 
 
 # --------------------------------------------------------------------------

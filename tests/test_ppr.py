@@ -116,3 +116,68 @@ def test_reset_all_zero_raises(spark):
     )
     with pytest.raises(Exception):
         personalized_pagerank(spark, edges, rdf, mode="local")
+
+
+# -------------------------------------------------------------------------
+# Batch (multi-query) PPR: distributed dataframe mode vs driver-local
+# matrix mode vs per-query single runs (VERDICT.md round-1 item 2)
+# -------------------------------------------------------------------------
+
+def _batch_inputs(spark):
+    rows, _ = _random_graph(n_nodes=60, n_edges=260, seed=13)
+    edges = spark.createDataFrame(
+        [(u, v, float(w), "fact") for u, v, w in rows],
+        "src string, dst string, weight double, relation string",
+    )
+    resets = {
+        "q1": {"n000": 1.0, "n017": 2.0},
+        "q2": {"n034": 1.0},
+        "q3": {"n005": 0.5, "n051": 0.5, "n020": 1.0},
+    }
+    rrows = [(q, n, w) for q, d in resets.items() for n, w in d.items()]
+    rdf = spark.createDataFrame(rrows, "query_id string, node_id string, reset_weight double")
+    return rows, edges, resets, rdf
+
+
+def test_batch_dataframe_matches_local_1e12(spark):
+    from hipporag_spark.ppr import personalized_pagerank_batch
+
+    _, edges, _, rdf = _batch_inputs(spark)
+    loc = personalized_pagerank_batch(spark, edges, rdf, damping=0.5, tol=1e-12, mode="local")
+    dist = personalized_pagerank_batch(spark, edges, rdf, damping=0.5, tol=1e-12, mode="dataframe")
+    lp = {(r["query_id"], r["node_id"]): r["score"] for r in loc.collect()}
+    dp = {(r["query_id"], r["node_id"]): r["score"] for r in dist.collect()}
+    assert set(lp) == set(dp)
+    diffs = [abs(lp[k] - dp[k]) for k in lp]
+    assert max(diffs) < 1e-12, max(diffs)
+
+
+def test_batch_matches_single_query_runs(spark):
+    from hipporag_spark.ppr import personalized_pagerank_batch
+
+    rows, edges, resets, rdf = _batch_inputs(spark)
+    batch = personalized_pagerank_batch(spark, edges, rdf, damping=0.85, tol=1e-12, mode="dataframe")
+    bp = {(r["query_id"], r["node_id"]): r["score"] for r in batch.collect()}
+    for q, reset in resets.items():
+        single = _run(spark, rows, reset, 0.85, "local", tol=1e-12)
+        for node, score in single.items():
+            assert abs(bp[(q, node)] - score) < 1e-9, (q, node)
+
+
+def test_batch_dataframe_checkpoint_resume(spark, tmp_path):
+    from hipporag_spark.ppr import personalized_pagerank_batch
+
+    _, edges, _, rdf = _batch_inputs(spark)
+    ckpt = str(tmp_path / "batch_ckpt")
+    # truncated run leaves a checkpoint behind
+    personalized_pagerank_batch(spark, edges, rdf, damping=0.5, tol=1e-12,
+                                mode="dataframe", max_iter=6,
+                                checkpoint_dir=ckpt, checkpoint_every=2)
+    resumed = personalized_pagerank_batch(spark, edges, rdf, damping=0.5, tol=1e-12,
+                                          mode="dataframe",
+                                          checkpoint_dir=ckpt, resume=True)
+    full = personalized_pagerank_batch(spark, edges, rdf, damping=0.5, tol=1e-12, mode="local")
+    rp = {(r["query_id"], r["node_id"]): r["score"] for r in resumed.collect()}
+    fp = {(r["query_id"], r["node_id"]): r["score"] for r in full.collect()}
+    for kk in fp:
+        assert abs(rp[kk] - fp[kk]) < 1e-10, kk
