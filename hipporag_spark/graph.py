@@ -52,6 +52,23 @@ def fact_edges(facts: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).withColumn("relation", F.lit("fact"))
 
 
+def fact_edges_from_counts(pairs: DataFrame) -> DataFrame:
+    """Like :func:`fact_edges` but over a pre-aggregated pair-count table
+    ``(subject, object, cnt)`` — the incremental indexer maintains the
+    counts additively per batch (new chunks only produce deltas, the
+    ``HippoRAG.py:756`` guard), so edge weights never require a re-scan of
+    the facts table."""
+    eid = lambda c: F.concat(F.lit("entity-"), F.sha2(c, 256))
+    base = pairs.select("subject", "object", F.col("cnt").cast("double").alias("weight"))
+    fwd = base.select(
+        eid(F.col("subject")).alias("src"), eid(F.col("object")).alias("dst"), "weight"
+    )
+    rev = base.select(
+        eid(F.col("object")).alias("src"), eid(F.col("subject")).alias("dst"), "weight"
+    )
+    return fwd.unionByName(rev).withColumn("relation", F.lit("fact"))
+
+
 def passage_edges(membership: DataFrame) -> DataFrame:
     """Chunk → entity mention edges, weight 1.0 (``HippoRAG.py:806-814``)."""
     return membership.select(

@@ -192,6 +192,9 @@ def personalized_pagerank_batch(
         "node_id",
         F.when(F.isnan(w) | (w < 0), F.lit(0.0)).otherwise(w).alias("reset_weight"),
     )
+    if resets_c.isEmpty():  # no queries (e.g. rerank dropped every fact)
+        sym.unpersist()
+        return spark.createDataFrame([], "query_id string, node_id string, score double")
     n_edges = sym.count()
     if mode == "auto":
         mode = "local" if n_edges <= local_edge_limit else "dataframe"

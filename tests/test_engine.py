@@ -99,3 +99,118 @@ def test_retriever_over_catalog(spark, engine):
         "chunk-" + hashlib.sha256(b"beta gamma delta").hexdigest(),
     }
     assert top2 == expect
+
+
+# -------------------------------------------------------------------------
+# Round-2 lifecycle: synonym edges in the product flow, persisted embedding
+# stores, O(batch) incremental physicals (VERDICT.md round-1 items 1 & 5)
+# -------------------------------------------------------------------------
+
+SYN_BATCH1 = [("o/r1", "a.py", "c1", "py", "tokenizer parse")]
+SYN_BATCH2 = [("o/r1", "b.py", "c2", "py", "tokenizers lex")]
+
+
+def test_engine_graph_contains_synonym_edges(spark, engine):
+    """The indexed graph carries all three reference edge relations —
+    synonym edges come from the entity_vdb KNN (HippoRAG.py:272, 818-879);
+    cosine(tokenizer, tokenizers) = 0.843 >= 0.8 under the featurizer."""
+    engine.index(spark.createDataFrame(SYN_BATCH1, SCHEMA))
+    c2 = engine.index(spark.createDataFrame(SYN_BATCH2, SCHEMA))
+    assert c2["synonym_edges"] >= 1
+    s = engine.stats()
+    assert s["num_synonym_edges"] >= 1
+    edges = engine.cat.read("edges")
+    syn = edges.where(F.col("relation") == "synonym").collect()
+    ids = {(r["src"], r["dst"]) for r in syn}
+    from hipporag_spark.extract import make_entities
+
+    tok_ids = {
+        r["phrase"]: r["entity_id"]
+        for r in make_entities(
+            spark.createDataFrame([("x", p) for p in ("tokenizer", "tokenizers")],
+                                  "chunk_id string, token string")
+        ).collect()
+    }
+    # batch-2's new entity 'tokenizers' queried the store and accepted
+    # 'tokenizer' (score 0.843 >= 0.8 threshold)
+    assert (tok_ids["tokenizers"], tok_ids["tokenizer"]) in ids
+
+
+def test_embedding_stores_persisted_and_incremental(spark, engine):
+    engine.index(spark.createDataFrame(BATCH1, SCHEMA))
+    f1 = {t: engine.cat.file_count(t) for t in ("entity_vdb", "chunk_vdb", "fact_vdb")}
+    assert engine.cat.read("entity_vdb").count() == 6
+    assert set(engine.cat.read("entity_vdb").columns) == {"entity_id", "phrase", "embedding"}
+    engine.index(spark.createDataFrame(BATCH2, SCHEMA))
+    # second batch appended exactly one data file per store (only new
+    # hashes were encoded); prior files untouched
+    for t in ("entity_vdb", "chunk_vdb", "fact_vdb"):
+        assert engine.cat.file_count(t) == f1[t] + 1
+    # re-index inserts nothing anywhere
+    again = engine.index(spark.createDataFrame(BATCH1 + BATCH2, SCHEMA))
+    assert all(v == 0 for v in again.values()), again
+
+
+def test_upsert_cost_is_o_batch(spark, engine, tmp_path):
+    """Fast-append physicals: each batch adds one data file; earlier data
+    files carry over by reference (same paths, never rewritten)."""
+    import json, os
+
+    engine.index(spark.createDataFrame(BATCH1, SCHEMA))
+    cat = engine.cat
+
+    def files(name):
+        return list(cat._files(name))
+
+    before = files("chunks")
+    engine.index(spark.createDataFrame(BATCH2, SCHEMA))
+    after = files("chunks")
+    assert after[: len(before)] == before  # prior files untouched, by reference
+    assert len(after) == len(before) + 1
+
+
+def test_retriever_uses_persisted_stores(spark, engine):
+    engine.index(spark.createDataFrame(BATCH1 + BATCH2, SCHEMA))
+    r = engine.retriever()
+    queries = spark.createDataFrame([("q1", "alpha beta")], "query_id string, question string")
+    out = r.retrieve(queries).collect()
+    assert len(out) > 0
+    # scores identical to a retriever that re-encodes from scratch
+    from hipporag_spark.retrieve import GraphRetriever
+
+    r2 = GraphRetriever(
+        spark,
+        engine.cat.read("nodes"),
+        engine.cat.read("edges").select("src", "dst", "weight", "relation"),
+        engine.cat.read("chunks"),
+        engine.cat.read("entities"),
+        engine.cat.read("facts").select("chunk_id", "subject", "predicate", "object"),
+        engine.cat.read("membership").select("entity_id", "chunk_id"),
+    )
+    out2 = r2.retrieve(queries).collect()
+    a = sorted((r_["doc_id"], r_["rank"], round(r_["score"], 12)) for r_ in out)
+    b = sorted((r_["doc_id"], r_["rank"], round(r_["score"], 12)) for r_ in out2)
+    assert a == b
+
+
+def test_rerank_hook_changes_kept_facts(spark, engine):
+    """RetrievalConfig.rerank_fn is the pluggable rerank stage (reference
+    rerank.py:105-131): a custom filter changes the kept fact set and the
+    final ranking; None keeps the deterministic default."""
+    from hipporag_spark.retrieve import RetrievalConfig
+
+    engine.index(spark.createDataFrame(BATCH1 + BATCH2, SCHEMA))
+    queries = spark.createDataFrame([("q1", "alpha beta")], "query_id string, question string")
+    base = engine.retriever().retrieve(queries).collect()
+
+    def drop_all(top_norm):
+        return top_norm.where(F.lit(False))
+
+    cfg = RetrievalConfig(rerank_fn=drop_all)
+    rer = engine.retriever(config=cfg).retrieve(queries).collect()
+    # with every fact dropped the query falls back to pure DPR
+    # (HippoRAG.py:414-416): same API, different scoring regime
+    assert len(rer) > 0
+    b_scores = [(r_["doc_id"], r_["rank"], round(r_["score"], 9)) for r_ in base]
+    r_scores = [(r_["doc_id"], r_["rank"], round(r_["score"], 9)) for r_ in rer]
+    assert b_scores != r_scores

@@ -47,16 +47,37 @@ def test_stream_index_matches_batch(spark, tmp_path):
     assert not q.isActive
     assert len(q.batch_stats) >= 1
 
+    # stream(2 micro-batches) ≡ index() called twice with the same splits —
+    # the foreachBatch contract.  (Synonym edges in the default incremental
+    # mode depend on batch granularity — each batch's NEW entities query the
+    # then-current store — so the reference comparison uses the same splits,
+    # not one merged batch.)
     batch = HippoIndex(spark, str(tmp_path / "idx_batch"))
-    batch.index(spark.createDataFrame(_corpus_pdf(DOCS_A + DOCS_B)))
+    batch.index(spark.createDataFrame(_corpus_pdf(DOCS_A)))
+    batch.index(spark.createDataFrame(_corpus_pdf(DOCS_B, start=len(DOCS_A))))
 
-    for table in ("chunks", "entities", "edges"):
+    for table in ("chunks", "entities", "edges", "synonym_edges", "fact_pairs"):
         s = streamed.cat.read(table).toPandas()
         b = batch.cat.read(table).toPandas()
         cols = sorted(s.columns)
         s = s[cols].sort_values(cols).reset_index(drop=True)
         b = b[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+    # the additive base state is batch-granularity independent: a one-shot
+    # index of everything yields the same fact-pair counts and membership
+    # (synonym edges — and hence the merged edge winners — legitimately
+    # depend on granularity in incremental mode; the same-split comparison
+    # above covers them)
+    oneshot = HippoIndex(spark, str(tmp_path / "idx_oneshot"))
+    oneshot.index(spark.createDataFrame(_corpus_pdf(DOCS_A + DOCS_B)))
+    for table in ("fact_pairs", "membership", "chunks", "entities"):
+        a = streamed.cat.read(table).toPandas()
+        b = oneshot.cat.read(table).toPandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 def test_stream_index_idempotent_on_replay(spark, tmp_path):
