@@ -347,14 +347,18 @@ def q_ppr_scores(spark, sf_dir):
     """Converged PPR, oracle-checked: a DuckDB recursive-CTE power
     iteration reproduces the same fixed point.  tol=1e-12 keeps the
     convergence gap (~tol/(1-d)) three orders below the 1e-6 rounding
-    granularity, so both sides round identically."""
+    granularity, so both sides round identically.  mode='csr' pins the
+    gate to the distributed Spark kernel (broadcast rank + mapInPandas
+    bincount blocks + shuffle agg) — auto would route this sf to the
+    driver-local fast path and the oracle would verify numpy, not Spark
+    (ADVICE.md round-1)."""
     edges = _phrase_edges(_tokens(spark, sf_dir))
     seeds = (
         edges.select(F.col("src").alias("node_id")).distinct()
         .where(F.col("node_id").isin(SEED_PHRASES))
         .withColumn("reset_weight", F.lit(1.0))
     )
-    res = personalized_pagerank(spark, edges, seeds, damping=0.85, tol=1e-12)
+    res = personalized_pagerank(spark, edges, seeds, damping=0.85, tol=1e-12, mode="csr")
     # all nodes, no top-k cut: a limit boundary would fall inside a plateau
     # of near-equal chunk scores where engine-level 1e-12 noise flips
     # membership; the full vector compares robustly after round-6
@@ -362,8 +366,12 @@ def q_ppr_scores(spark, sf_dir):
 
 
 def q_components(spark, sf_dir):
+    """mode='dataframe' pins the distributed min-label hash-join loop (the
+    oracle must verify the Spark implementation, not the local union-find
+    fallback)."""
     edges = _phrase_edges(_tokens(spark, sf_dir))
-    return connected_components(spark, edges).components.select("node_id", "component")
+    return connected_components(spark, edges, mode="dataframe").components.select(
+        "node_id", "component")
 
 
 def q_lpa(spark, sf_dir):
@@ -371,7 +379,7 @@ def q_lpa(spark, sf_dir):
     edges = counts.select(
         F.col("subject").alias("src"), F.col("object").alias("dst"), "weight"
     ).withColumn("relation", F.lit("fact"))
-    return label_propagation(spark, edges).labels.select("node_id", "label")
+    return label_propagation(spark, edges, mode="dataframe").labels.select("node_id", "label")
 
 
 def q_retrieve(spark, sf_dir):
@@ -383,7 +391,10 @@ def q_retrieve(spark, sf_dir):
     retriever = GraphRetriever(
         spark, nodes, edges, tables["chunks"], tables["entities"],
         tables["facts"], tables["membership"],
-        config=RetrievalConfig(retrieval_top_k=10),
+        # ppr_mode='dataframe' pins the distributed batch-PPR kernel (the
+        # (query_id, node_id)-keyed salted aggregation), not the
+        # small-graph driver fallback
+        config=RetrievalConfig(retrieval_top_k=10, ppr_mode="dataframe"),
     )
     queries = spark.createDataFrame(
         [("q0", "table row key"), ("q1", "merge join scan"), ("q2", "vector window batch")],
@@ -405,6 +416,21 @@ def q_lsh_ann(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     out = sim.lsh_topk(spark, q, emb.select("vec_id", "embedding"), k=10, n_bits=8)
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+def q_synonym_edges(spark, sf_dir):
+    """HippoRAG synonym-edge construction (HippoRAG.py:818-879 acceptance
+    rules: eligibility, threshold, self/empty exclusion, 2047-candidate
+    cut, 101-neighbor cap) over the embeddings table as the entity store.
+    Threshold lowered to the near-dup level so the sf0.01 vectors produce
+    a non-trivial edge set; all rules stay live."""
+    from hipporag_spark.knn import synonym_edges as _syn
+
+    emb = _emb(spark, sf_dir)
+    sid = F.format_string("vec%04d", F.col("vec_id"))
+    ents = emb.select(sid.alias("entity_id"), sid.alias("phrase"), "embedding")
+    out = _syn(spark, ents, topk=2047, threshold=NEARDUP_COS, max_neighbors=101)
+    return out.select("src", "dst", F.round("weight", 6).alias("weight"), "relation")
 
 
 def q_media_features(spark, sf_dir):
@@ -447,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieve": q_retrieve,
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
+        "synonym_edges": q_synonym_edges,
         "media_features": q_media_features,
     }
 
@@ -559,6 +586,65 @@ def _lsh_oracle_sql() -> str:
               FROM cand)
         SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r
         WHERE rank <= 10"""
+
+
+def _ivf_oracle_sql() -> str:
+    """Exact oracle for q_ivf_ann: the seeded spherical k-means of
+    similarity.train_centroids is fully deterministic (md5-ordered init,
+    3 Lloyd iterations, cosine-argmax assignment with pinned ties), so the
+    whole training loop unrolls into chained CTEs — init → (assign → mean
+    → renormalize) × 3 → bucket → probe → exact re-rank."""
+    cos = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+
+    def assign(cent_cte: str, out: str) -> str:
+        c = cos.format(a="v.ve", b="c.cv")
+        return (
+            f"{out} AS (SELECT vec_id, ve, cid FROM ("
+            f"SELECT v.vec_id, v.ve, c.cid, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {c} DESC, c.cid) AS rn "
+            f"FROM v, {cent_cte} c) WHERE rn = 1)"
+        )
+
+    def lloyd(k: int) -> str:
+        # mean per (centroid, dim) → re-assembled list → renormalize;
+        # empty centroids keep their previous vector (similarity.py
+        # train_centroids keeps `cent` rows untouched when no member)
+        return (
+            f"x{k} AS (SELECT cid, generate_subscripts(ve, 1) AS pos, unnest(ve) AS val FROM a{k}), "
+            f"g{k} AS (SELECT cid, pos, avg(val) AS mval FROM x{k} GROUP BY 1, 2), "
+            f"m{k} AS (SELECT cid, list(mval ORDER BY pos) AS mv FROM g{k} GROUP BY cid), "
+            f"c{k} AS (SELECT c.cid, CASE WHEN m.mv IS NOT NULL "
+            f"AND sqrt(list_dot_product(m.mv, m.mv)) > 0 "
+            f"THEN list_transform(m.mv, x -> x / sqrt(list_dot_product(m.mv, m.mv))) "
+            f"ELSE c.cv END AS cv FROM c{k - 1} c LEFT JOIN m{k} m USING (cid))"
+        )
+
+    cq = cos.format(a="q.ve", b="c.cv")
+    ck = cos.format(a="p.qv", b="kb.kv")
+    return f"""
+        WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+        init AS (SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR || ':7')) - 1 AS cid, ve
+                 FROM v ORDER BY md5(vec_id::VARCHAR || ':7') LIMIT 16),
+        c0 AS (SELECT cid, list_transform(ve, x -> x /
+                   greatest(sqrt(list_dot_product(ve, ve)), 1e-12)) AS cv FROM init),
+        {assign('c0', 'a1')}, {lloyd(1)},
+        {assign('c1', 'a2')}, {lloyd(2)},
+        {assign('c2', 'a3')}, {lloyd(3)},
+        {assign('c3', 'a4')},
+        kb AS (SELECT vec_id, ve AS kv, cid FROM a4),
+        probes AS (
+            SELECT query_id, qv, cid FROM (
+                SELECT q.vec_id AS query_id, q.ve AS qv, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {cq} DESC, c.cid) AS rn
+                FROM v q, c3 c WHERE q.vec_id < 5) WHERE rn <= 4),
+        cand AS (SELECT p.query_id, kb.vec_id, {ck} AS cos
+                 FROM probes p JOIN kb USING (cid)),
+        r AS (SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM cand)
+        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -739,6 +825,26 @@ def oracle_sql() -> dict[str, str]:
             v AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY 1)
             SELECT doc_id, ({simhash_assemble})::BIGINT AS simhash FROM v""",
         "lsh_ann": _lsh_oracle_sql(),
+        "ivf_ann": _ivf_oracle_sql(),
+        "synonym_edges": f"""
+            WITH v AS MATERIALIZED (
+                SELECT printf('vec%04d', vec_id) AS id, embedding::DOUBLE[] AS ve
+                FROM embeddings),
+            s AS (SELECT q.id AS src, k.id AS dst,
+                         {_COS.format(a="q.ve", b="k.ve")} AS cos
+                  FROM v q, v k),
+            cand AS (SELECT src, dst, cos,
+                            row_number() OVER (PARTITION BY src
+                                               ORDER BY cos DESC, dst) AS knn_rank
+                     FROM s),
+            acc AS (SELECT src, dst, cos FROM cand
+                    WHERE knn_rank <= 2047 AND cos >= {NEARDUP_COS} AND dst <> src),
+            r AS (SELECT src, dst, cos,
+                         row_number() OVER (PARTITION BY src
+                                            ORDER BY cos DESC, dst) AS nn_rank
+                  FROM acc)
+            SELECT src, dst, round(cos, 6) AS weight, 'synonym' AS relation
+            FROM r WHERE nn_rank <= 101""",
         "embed_neardup": f"""
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
             s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -47,6 +47,10 @@ class RetrievalConfig:
     retrieval_top_k: int = 200    # config_utils.py:176-179
     tol: float = 1e-9
     dim: int = 128
+    # physical strategy for the batched PPR ("auto" | "local" |
+    # "dataframe"); gates pin "dataframe" so the oracle exercises the
+    # distributed kernel, not the small-graph driver fallback
+    ppr_mode: str = "auto"
     # pluggable fact rerank stage (reference rerank_facts,
     # HippoRAG.py:1523-1571 / rerank.py:105-131 — an LLM filter there):
     # receives the per-query normalized fact candidates
@@ -203,6 +207,7 @@ class GraphRetriever:
             resets.join(have_facts, "query_id", "left_semi"),
             damping=cfg.damping,
             tol=cfg.tol,
+            mode=cfg.ppr_mode,
         )
         chunk_ids = self.passages.select(F.col("chunk_id").alias("node_id"))
         doc_scores = ppr_scores.join(chunk_ids, "node_id", "left_semi").select(
