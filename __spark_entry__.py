@@ -647,6 +647,156 @@ def _ivf_oracle_sql() -> str:
         SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
 
 
+def _emb_cte(name: str, src: str) -> str:
+    """Sparse deterministic featurizer (hipporag_spark.embed) in SQL:
+    char-3-grams of ' '||txt||' ', bucket = first md5 byte % 128 (equal to
+    the little-endian 8-byte hash % 128 because 256 ≡ 0 mod 128), counts
+    L2-normalized then float32-rounded (::REAL) exactly like the engine's
+    array<float> storage.  Integer counts make the norm exact in float64,
+    so stored values match the Spark side bit-for-bit."""
+    return f"""{name} AS MATERIALIZED (
+        SELECT id, bucket, (cnt / nrm)::REAL::DOUBLE AS val FROM (
+          SELECT id, bucket, cnt, sqrt(sum(cnt * cnt) OVER (PARTITION BY id)) AS nrm
+          FROM (
+            SELECT id,
+                   ('0x' || substr(md5(substr(pt, i.i, 3)), 1, 2))::INT % 128 AS bucket,
+                   count(*)::DOUBLE AS cnt
+            FROM (SELECT id, ' ' || txt || ' ' AS pt FROM {src}),
+                 unnest(range(1, greatest(length(pt) - 2, 1) + 1)) AS i(i)
+            GROUP BY 1, 2)))"""
+
+
+def _retrieve_oracle_sql() -> str:
+    """Exact oracle for q_retrieve — the full HippoRAG retrieval flow in
+    one statement: featurizer embeddings (bit-exact, see _emb_cte) → fact
+    cosine top-5 per query with full-vector min-max normalization
+    (misc_utils.py:106-115) → phrase weights (÷ chunk-degree, mean over
+    occurrences, link_top_k mask) → DPR passage scores × 0.05 → per-query
+    normalized reset vector → 150-step batched PPR power iteration
+    (damping 0.5; residual 0.5^150 ≪ the engine's tol=1e-9 convergence
+    gap ≪ the 1e-6 rounding granularity) → top-10 passages.  The corpus
+    has no dangling nodes (every chunk tokenizes non-empty, every entity
+    has a passage edge), so the dangling-mass term is identically zero."""
+    qsrc = ("(SELECT 'q0' AS id, 'table row key' AS txt UNION ALL "
+            "SELECT 'q1', 'merge join scan' UNION ALL "
+            "SELECT 'q2', 'vector window batch')")
+    return f"""
+        WITH RECURSIVE {_TOKS_MAT}, {_PAIRS_MAT},
+        fmeta AS MATERIALIZED (
+            SELECT sha256(subject || chr(31) || 'cooccurs_with' || chr(31) || object) AS fact_id,
+                   subject, object,
+                   subject || ' cooccurs_with ' || object AS ftext
+            FROM counts),
+        {_emb_cte('qemb', qsrc)},
+        {_emb_cte('femb', "(SELECT fact_id AS id, ftext AS txt FROM fmeta)")},
+        {_emb_cte('pemb',
+                  "(SELECT 'chunk-' || sha256(text) AS id, text AS txt FROM documents)")},
+        qn AS MATERIALIZED (SELECT id, sqrt(sum(val * val)) AS n FROM qemb GROUP BY 1),
+        fn AS MATERIALIZED (SELECT id, sqrt(sum(val * val)) AS n FROM femb GROUP BY 1),
+        pn AS MATERIALIZED (SELECT id, sqrt(sum(val * val)) AS n FROM pemb GROUP BY 1),
+        -- fact scores: every (query, fact) pair, orthogonal pairs at 0
+        fdot AS (SELECT q.id AS query_id, f.id AS fact_id, sum(q.val * f.val) AS dot
+                 FROM qemb q JOIN femb f USING (bucket) GROUP BY 1, 2),
+        fs AS MATERIALIZED (
+            SELECT qn.id AS query_id, fn.id AS fact_id,
+                   coalesce(d.dot, 0.0) / (qn.n * fn.n) AS score
+            FROM qn CROSS JOIN fn
+            LEFT JOIN fdot d ON d.query_id = qn.id AND d.fact_id = fn.id),
+        fstat AS (SELECT query_id, min(score) AS smin, max(score) AS smax
+                  FROM fs GROUP BY 1),
+        ftop AS (SELECT query_id, fact_id, score FROM (
+                   SELECT query_id, fact_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, fact_id) AS rn
+                   FROM fs) WHERE rn <= 5),
+        fnorm AS (SELECT t.query_id, t.fact_id,
+                         CASE WHEN s.smax = s.smin THEN 1.0
+                              ELSE (t.score - s.smin) / (s.smax - s.smin) END AS fact_score
+                  FROM ftop t JOIN fstat s USING (query_id)),
+        -- phrase weights: explode top facts into subject/object phrases,
+        -- ÷ chunk-degree, mean over occurrences, link_top_k mask
+        deg AS MATERIALIZED (SELECT token AS phrase, count(DISTINCT chunk_id) AS cd
+                             FROM toks GROUP BY 1),
+        pexp AS (SELECT n.query_id, n.fact_score, p.phrase
+                 FROM fnorm n JOIN fmeta m USING (fact_id),
+                      unnest([lower(m.subject), lower(m.object)]) AS p(phrase)),
+        pwq AS (SELECT e.query_id,
+                       'entity-' || sha256(e.phrase) AS node_id, e.phrase,
+                       sum(CASE WHEN coalesce(d.cd, 0) > 0
+                                THEN e.fact_score / d.cd ELSE e.fact_score END)
+                       / count(*) AS weight
+                FROM pexp e JOIN deg d ON d.phrase = e.phrase
+                GROUP BY 1, 2, 3),
+        pw AS MATERIALIZED (SELECT query_id, node_id, weight FROM (
+                 SELECT query_id, node_id, weight,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY weight DESC, phrase) AS rn
+                 FROM pwq) WHERE rn <= 5),
+        -- DPR: normalized cosine over ALL passages
+        pdot AS (SELECT q.id AS query_id, p.id AS chunk_id, sum(q.val * p.val) AS dot
+                 FROM qemb q JOIN pemb p USING (bucket) GROUP BY 1, 2),
+        ps AS MATERIALIZED (
+            SELECT qn.id AS query_id, pn.id AS chunk_id,
+                   coalesce(d.dot, 0.0) / (qn.n * pn.n) AS score
+            FROM qn CROSS JOIN pn
+            LEFT JOIN pdot d ON d.query_id = qn.id AND d.chunk_id = pn.id),
+        pstat AS (SELECT query_id, min(score) AS smin, max(score) AS smax
+                  FROM ps GROUP BY 1),
+        dpr AS MATERIALIZED (
+            SELECT p.query_id, p.chunk_id,
+                   CASE WHEN s.smax = s.smin THEN 1.0
+                        ELSE (p.score - s.smin) / (s.smax - s.smin) END AS score_norm
+            FROM ps p JOIN pstat s USING (query_id)),
+        -- reset vector: phrase weights + 0.05 × DPR, normalized per query
+        rraw AS (SELECT query_id, node_id, sum(w) AS w FROM (
+                   SELECT query_id, node_id, weight AS w FROM pw
+                   UNION ALL
+                   SELECT query_id, chunk_id, score_norm * 0.05 FROM dpr)
+                 GROUP BY 1, 2),
+        r AS MATERIALIZED (
+            SELECT query_id, node_id,
+                   w / sum(w) OVER (PARTITION BY query_id) AS rw
+            FROM rraw),
+        -- graph: fact edges (count weight, both directions) + passage
+        -- edges, symmetrized conductance, out-weight normalized
+        gedges AS (
+            SELECT 'entity-' || sha256(subject) AS src,
+                   'entity-' || sha256(object) AS dst, weight FROM counts
+            UNION ALL
+            SELECT 'entity-' || sha256(object), 'entity-' || sha256(subject), weight FROM counts
+            UNION ALL
+            SELECT chunk_id, 'entity-' || sha256(token), 1.0 FROM toks),
+        sym AS MATERIALIZED (SELECT src, dst, sum(weight) AS weight FROM (
+            SELECT src, dst, weight FROM gedges
+            UNION ALL SELECT dst, src, weight FROM gedges) GROUP BY 1, 2),
+        outw AS (SELECT src, sum(weight) AS out_w FROM sym GROUP BY 1),
+        nw AS MATERIALIZED (
+            SELECT e.src, e.dst, e.weight / o.out_w AS wn
+            FROM sym e JOIN outw o ON o.src = e.src),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM sym),
+        qids AS MATERIALIZED (SELECT DISTINCT query_id FROM pw),
+        pr(it, query_id, node_id, p) AS (
+            SELECT 0, q.query_id, n.node_id, coalesce(r.rw, 0.0)
+            FROM qids q CROSS JOIN nodes n
+            LEFT JOIN r ON r.query_id = q.query_id AND r.node_id = n.node_id
+            UNION ALL
+            SELECT c.it + 1, c.query_id, c.node_id,
+                   0.5 * c.contrib + 0.5 * coalesce(r.rw, 0.0)
+            FROM (SELECT pr.it, pr.query_id, e.dst AS node_id,
+                         sum(pr.p * e.wn) AS contrib
+                  FROM pr JOIN nw e ON e.src = pr.node_id
+                  WHERE pr.it < 150
+                  GROUP BY 1, 2, 3) c
+            LEFT JOIN r ON r.query_id = c.query_id AND r.node_id = c.node_id),
+        ranked AS (
+            SELECT query_id, node_id AS doc_id, p AS score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY p DESC, node_id) AS rank
+            FROM pr WHERE it = 150 AND node_id LIKE 'chunk-%')
+        SELECT query_id, doc_id, round(score, 6) AS score, rank
+        FROM ranked WHERE rank <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     corpus_path = "'org' || (doc_id % 7)::VARCHAR || '/src/f' || doc_id::VARCHAR || '.' || lang"
     simhash_votes = ", ".join(
@@ -826,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ({simhash_assemble})::BIGINT AS simhash FROM v""",
         "lsh_ann": _lsh_oracle_sql(),
         "ivf_ann": _ivf_oracle_sql(),
+        "retrieve": _retrieve_oracle_sql(),
         "synonym_edges": f"""
             WITH v AS MATERIALIZED (
                 SELECT printf('vec%04d', vec_id) AS id, embedding::DOUBLE[] AS ve

@@ -12,6 +12,12 @@ Similar identifiers (``main`` / ``main_id``) share most n-grams → high
 cosine; unrelated ones are near-orthogonal.  Emitted as
 ``array<float>`` (float32) matching the reference store schema.
 
+``h`` is the first 8 bytes of ``md5(gram)`` little-endian — chosen so the
+bucket index is SQL-expressible for the DuckDB correctness oracle: with
+``dim`` dividing 256, ``h % dim`` equals ``first_md5_byte % dim``, i.e.
+``('0x' || substr(md5(g), 1, 2))::INT % dim`` (md5 hex is big-endian per
+byte, so hex chars 1-2 are exactly the little-endian integer's low byte).
+
 Implemented as an Arrow-batched ``pandas_udf`` (SURVEY.md §2.8) — the
 loop over strings is batch-local Python on the executor, never a
 row-at-a-time Spark UDF.
@@ -35,7 +41,7 @@ def _embed_one(s: str, dim: int) -> np.ndarray:
     t = f" {s} "
     for i in range(max(len(t) - _NGRAM + 1, 1)):
         g = t[i : i + _NGRAM]
-        h = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
         v[h % dim] += 1.0
     n = np.linalg.norm(v)
     if n > 0:
