@@ -194,21 +194,34 @@ def run_supersteps(cores: int, blocks_dir: str) -> dict:
         "superstep_sec": round(sec, 4),
         "edges_per_sec": round(n_edges / sec),
         "supersteps_per_min": round(60.0 / sec, 2),
+        "edges_processed": int(n_edges),
     }
 
 
 def measure_levels(blocks_dir: str, levels=(2, 8, 32), sweeps: int = 2) -> dict:
-    """Interleaved sweeps over the parallelism levels, keeping each
-    level's best run.  This sandbox VM sees episodic noisy-neighbor
-    interference (±30% on identical runs minutes apart); interleaving +
-    min makes the scaling ratio reflect the machine, not the episode."""
-    best: dict = {}
+    """Interleaved sweeps over the parallelism levels; each level reports
+    the MEDIAN of its sweep results plus every per-sweep value (variance
+    is visible in the output, nothing is best-cased — ADVICE.md round-1).
+    This sandbox VM sees episodic noisy-neighbor interference (±30% on
+    identical runs minutes apart); interleaving keeps the levels inside
+    the same episodes so the ratio reflects the machine, not the
+    episode."""
+    runs: dict = {c: [] for c in levels}
     for _ in range(sweeps):
         for c in levels:
-            r = run_supersteps(c, blocks_dir)
-            if c not in best or r["superstep_sec"] < best[c]["superstep_sec"]:
-                best[c] = r
-    return best
+            runs[c].append(run_supersteps(c, blocks_dir))
+    out: dict = {}
+    for c in levels:
+        secs = sorted(r["superstep_sec"] for r in runs[c])
+        med = float(np.median(secs))
+        n_edges = runs[c][0]["edges_processed"]
+        out[c] = {
+            "superstep_sec": round(med, 4),
+            "edges_per_sec": round(n_edges / med),
+            "supersteps_per_min": round(60.0 / med, 2),
+            "sweep_superstep_sec": [round(s, 4) for s in secs],
+        }
+    return out
 
 
 def main():
@@ -224,14 +237,16 @@ def main():
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         tag = f"e{BENCH_EDGES}_n{BENCH_NODES}_b{N_BLOCKS}"
         blocks_dir = ensure_blocks(tag)
-        # N→4N executor scaling proxy (BASELINE.json north_rule; see
-        # BENCH/BASELINE.md): headline pair is local[2]→local[8], where
-        # per-core shared resources (L3, memory channels) stay comparable
-        # — as they would across 4× as many *machines*.  local[32] is
-        # reported too: at 32-way full subscription this single VM's
-        # shared L3/frequency budget is saturated, which measures the
-        # box, not the algorithm (kernel-only MP sweeps show the same
-        # ceiling with no Spark involved).
+        # N→4N executor scaling (BASELINE.json north_rule, ≥0.8):
+        # efficiency_N_to_4N is the local[8]→local[32] pair — the pair the
+        # task originally specified — reported as measured (ADVICE.md
+        # round-1: no self-granted redefinition).  local[2]→local[8] is
+        # reported as a supplementary datapoint where per-core shared
+        # resources (L3 slice, memory channels, thermal budget) stay
+        # comparable, as they would across 4× as many *machines*; at
+        # 32-way full subscription this single VM's shared L3/frequency
+        # budget saturates (kernel-only multiprocessing sweeps show the
+        # same ceiling with no Spark involved — BENCH/BASELINE.md).
         best = measure_levels(blocks_dir)
         r2, r8, r32 = best[2], best[8], best[32]
         eff_2_8 = r8["edges_per_sec"] / (4.0 * r2["edges_per_sec"])
@@ -239,9 +254,15 @@ def main():
         out["ppr_scaling"] = {
             "edges": BENCH_EDGES, "nodes": BENCH_NODES, "blocks": N_BLOCKS,
             "local2": r2, "local8": r8, "local32": r32,
-            "efficiency_N_to_4N": round(eff_2_8, 3),
+            "efficiency_N_to_4N": round(eff_8_32, 3),
+            "efficiency_N_to_4N_pair": "local8_to_local32",
             "efficiency_2_to_8": round(eff_2_8, 3),
             "efficiency_8_to_32": round(eff_8_32, 3),
+            # medians across interleaved sweeps (per-sweep values inside
+            # each level); superstep walls are in-job time — scheduler
+            # job-launch latency is excluded, as it amortizes over the
+            # K-supersteps-per-job batching on a long-running cluster job
+            "wall_basis": "in_job_per_superstep_median",
         }
     print(json.dumps(out))
 

@@ -54,11 +54,15 @@ def block_contrib(si, dloc, ranks, edge_scale, loc_len, per_node: bool) -> "np.n
     """One block's contribution slice: ``Σ ranks[src]·scale per local dst``.
 
     ``per_node=True``: ``edge_scale`` is a per-NODE array (1/out_w, indexed
-    by src — the unit-weight layout); else per-EDGE (wn, aligned with si).
-    Chunked with persistent scratch buffers: fresh multi-hundred-MB
-    temporaries per task would pay first-touch page-fault cost every
-    superstep (measured ~2 s/240 MB on this host) and saturate DRAM
-    bandwidth at high core counts; 8 MB reused buffers stay cache-resident.
+    by src — the unit-weight layout); else per-EDGE (wn, aligned with si);
+    ``edge_scale=None``: the caller pre-folded the scale into ``ranks``
+    (``rs = ranks * inv_w`` once per superstep — bitwise identical to the
+    per-edge product, and it removes the second gather, which dominates
+    the kernel).  Chunked with persistent scratch buffers: fresh
+    multi-hundred-MB temporaries per task would pay first-touch page-fault
+    cost every superstep (measured ~2 s/240 MB on this host) and saturate
+    DRAM bandwidth at high core counts; 8 MB reused buffers stay
+    cache-resident.
     """
     c = np.zeros(loc_len, dtype=np.float64)
     w = _scratch("w", np.float64)
@@ -69,16 +73,30 @@ def block_contrib(si, dloc, ranks, edge_scale, loc_len, per_node: bool) -> "np.n
         b = min(a + _CHUNK, m)
         k = b - a
         np.take(ranks, si[a:b], out=w[:k])
-        if per_node:
-            np.take(edge_scale, si[a:b], out=w2[:k])
-            w[:k] *= w2[:k]
-        else:
-            w[:k] *= edge_scale[a:b]
+        if edge_scale is not None:
+            if per_node:
+                np.take(edge_scale, si[a:b], out=w2[:k])
+                w[:k] *= w2[:k]
+            else:
+                w[:k] *= edge_scale[a:b]
         # cast-copy the (possibly uint16) local dst index into a reused
         # int64 buffer: bincount would otherwise allocate its own copy
         dl[:k] = dloc[a:b]
         c += np.bincount(dl[:k], weights=w[:k], minlength=loc_len)
     return c
+
+
+def fold_scale(ranks, inv_w):
+    """``rs = ranks * inv_w`` into a persistent per-worker buffer — the
+    once-per-superstep fold that lets :func:`block_contrib` run
+    single-gather.  The buffer is reused across supersteps (a fresh 8 MB
+    allocation per task would pay first-touch page faults every step)."""
+    buf = _SCRATCH.get("fold")
+    if buf is None or buf.shape != ranks.shape:
+        buf = np.empty_like(ranks)
+        _SCRATCH["fold"] = buf
+    np.multiply(ranks, inv_w, out=buf)
+    return buf
 
 
 def get_block(

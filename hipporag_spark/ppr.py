@@ -703,8 +703,11 @@ def ppr_from_blocks(
         def step_fn(bids, _bc=bc, _binv=bc_inv, _lens=loc_lens,
                     _files=block_files, _unit=unit, _cols=cols, _lim=cache_limit,
                     _npy=npy_dir):
-            from hipporag_spark._worker_cache import block_contrib, get_block
+            from hipporag_spark._worker_cache import block_contrib, fold_scale, get_block
 
+            # unit layout: fold 1/out_w into the rank vector once — the
+            # kernel then runs single-gather (bitwise-identical product)
+            rs = fold_scale(_bc.value, _binv.value) if _unit else _bc.value
             for bid in bids:
                 fs = _files.get(bid, [])
                 if not fs:
@@ -712,9 +715,9 @@ def ppr_from_blocks(
                 arrs = get_block((blocks_dir, bid), fs, _cols, limit_bytes=_lim,
                                  npy_dir=_npy)
                 si, dloc = arrs[0], arrs[1]
-                scale = _binv.value if _unit else arrs[2]
-                yield (bid, block_contrib(si, dloc, _bc.value, scale,
-                                          _lens[bid], _unit))
+                scale = None if _unit else arrs[2]
+                yield (bid, block_contrib(si, dloc, rs, scale,
+                                          _lens[bid], False))
 
         # one task per core: each task sweeps its share of the (balanced)
         # blocks sequentially — removes per-wave dispatch overhead and
@@ -882,7 +885,7 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
 
             from pyspark import BarrierTaskContext
 
-            from hipporag_spark._worker_cache import block_contrib, get_block
+            from hipporag_spark._worker_cache import block_contrib, fold_scale, get_block
 
             tctx = BarrierTaskContext.get()
             pid = tctx.partitionId()
@@ -893,9 +896,18 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
             dang_idx = np.load(_os.path.join(_xdir, "dangling_idx.npy"))
             scale_node = np.load(_os.path.join(_xdir, "inv_w.npy")) if _unit else None
             l2g_all = None
+            peer_idx = None
             if _layout_balanced:
                 l2g_all = {b: np.load(_os.path.join(_l2g_dir, f"l2g_{b}.npy"))
                            for b in _existing}
+                # one concatenated scatter-index per peer, built once per
+                # job: assembly becomes ONE vectorized fancy scatter per
+                # landed slice instead of a python loop over blocks
+                peer_idx = {
+                    t: np.concatenate([l2g_all[b] for b in task_blocks[t]])
+                    if task_blocks[t] else np.empty(0, dtype=np.int64)
+                    for t in range(_nt)
+                }
             my_len = sum(_lens[b] for b in my_blocks)
             slice_buf = np.empty(my_len, dtype=np.float64)
             # reused per-step buffers: fresh 8·n-byte allocations every
@@ -913,14 +925,17 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
             for s in range(_k):
                 g = _it0 + s
                 t0 = _t.time()
+                # unit layout: fold 1/out_w into the rank vector once per
+                # superstep — single-gather kernel, bitwise-identical
+                rs = fold_scale(prev, scale_node) if _unit else prev
                 off = 0
                 for b in my_blocks:
                     arrs = get_block((_bd, b), _files.get(b, []), _cols,
                                      limit_bytes=_lim, npy_dir=_npy)
-                    scale = scale_node if _unit else arrs[2]
+                    scale = None if _unit else arrs[2]
                     L = _lens[b]
                     slice_buf[off:off + L] = block_contrib(
-                        arrs[0], arrs[1], prev, scale, L, _unit)
+                        arrs[0], arrs[1], rs, scale, L, False)
                     off += L
                 _atomic_save(_os.path.join(_bdir, f"t_{g}_{pid}.npy"), slice_buf)
                 t1 = _t.time()
@@ -940,14 +955,14 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                             # mmap: sequential one-shot read straight from
                             # the page cache, no 8-byte-per-node heap copy
                             arr = np.load(p, mmap_mode="r")
-                            o = 0
-                            for b in task_blocks[t_]:
-                                L = _lens[b]
-                                if _layout_balanced:
-                                    contrib[l2g_all[b]] = arr[o:o + L]
-                                else:
+                            if _layout_balanced:
+                                contrib[peer_idx[t_]] = arr
+                            else:
+                                o = 0
+                                for b in task_blocks[t_]:
+                                    L = _lens[b]
                                     contrib[b::_nb] = arr[o:o + L]
-                                o += L
+                                    o += L
                             landed.append(t_)
                     pending.difference_update(landed)
                     if pending:
