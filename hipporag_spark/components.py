@@ -57,10 +57,12 @@ def connected_components(
         nodes = nodes.unionByName(extra_nodes.select("node_id")).distinct()
 
     if mode == "auto":
-        mode = "local" if n_edges <= local_edge_limit else "dataframe"
+        mode = "local" if n_edges <= local_edge_limit else "star"
 
     if mode == "local":
         res = _cc_local(spark, und, nodes)
+    elif mode == "star":
+        res = _cc_star(spark, und, nodes, max_iter)
     else:
         res = _cc_dataframe(spark, und, nodes, max_iter)
     und.unpersist()
@@ -97,6 +99,79 @@ def _cc_local(spark, und, nodes) -> CCResult:
         rows.extend((m, lab) for m in members)
     out = spark.createDataFrame(pd.DataFrame(rows, columns=["node_id", "component"]))
     return CCResult(out, 1, True, [{"mode": "local", "edges": len(pairs)}])
+
+
+def _cc_star(spark, und, nodes, max_iter) -> CCResult:
+    """Large-star / small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log² n) rounds instead of the
+    min-label loop's O(component diameter), which is the difference
+    between ~20 and ~10⁴ supersteps on a path-shaped 10¹²-edge web graph.
+    This is the SURVEY §4.3.3 cluster-scale refinement (VERDICT.md
+    round-1 "What's missing" #5).
+
+    Each round is two hash-join + min-aggregate steps over the current
+    edge multiset; at fixpoint the edges form stars whose centers are the
+    component minima — the same canonical labeling as the other modes.
+
+    - large-star(u): for m = min(Γ(u) ∪ {u}), link every neighbor v > u
+      to m;
+    - small-star(u): link every neighbor v ≤ u (and u itself) to m.
+    """
+    def _with_min(e):
+        # m(u) = min over Γ(u) ∪ {u}
+        m = e.groupBy("src").agg(F.min("dst").alias("mn"))
+        return e.join(m, "src").select(
+            "src", "dst", F.least(F.col("mn"), F.col("src")).alias("m"))
+
+    def _canon(e):
+        return e.where(F.col("src") != F.col("dst")).select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
+
+    edges = _canon(und).localCheckpoint(eager=True)
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    for it in range(max_iter):
+        t0 = time.time()
+        # large-star: neighbors larger than u attach to u's min
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        ls = _with_min(sym)
+        large = (
+            ls.where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        after_large = _canon(large)
+        # small-star: neighbors ≤ u (star leaves) re-attach to the min
+        sym2 = after_large.unionByName(
+            after_large.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        ss = _with_min(sym2)
+        small = (
+            ss.where(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(ss.select("src", F.col("m").alias("dst")))
+        )
+        new_edges = _canon(small).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        metrics.append({"superstep": it, "edges_changed": int(changed),
+                        "wall_ms": (time.time() - t0) * 1000, "mode": "star"})
+        if changed == 0:
+            converged = True
+            break
+
+    # fixpoint edges are stars rooted at component minima: every non-root
+    # node appears as src exactly once with dst = its component min
+    child = edges.select(F.col("src").alias("node_id"), F.col("dst").alias("component"))
+    out = (
+        nodes.join(child, "node_id", "left")
+        .select("node_id", F.coalesce(F.col("component"), F.col("node_id")).alias("component"))
+    )
+    return CCResult(out, it + 1, converged, metrics)
 
 
 def _cc_dataframe(spark, und, nodes, max_iter) -> CCResult:

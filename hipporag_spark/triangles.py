@@ -10,10 +10,16 @@ the standard oriented two-join DataFrame formulation (SURVEY.md §4.3.5):
 Orienting by id bounds each join's fan-out by the *oriented* degree
 (every triangle counted exactly once, no post-hoc /6), and the degree
 of a vertex in E' under id-ordering is ≤ its true degree — the classic
-mitigation that keeps hub vertices from exploding the first join.  At
-cluster scale the further refinement is degree-ordering instead of
-id-ordering; id-ordering is kept here because the oracle comparison and
-the DuckDB SQL mirror must be bit-identical.
+mitigation that keeps hub vertices from exploding the first join.
+
+``ordering="degree"`` is the cluster-scale refinement (SURVEY §4.3.5,
+VERDICT.md round-1 "What's missing" #5): orient every edge from the
+lower-(degree, id) endpoint to the higher one.  Each vertex's
+out-degree is then bounded by O(√m) on any graph, so a 10⁸-degree web
+hub contributes O(√m) — not deg² — candidate wedges to the first join.
+The count is orientation-invariant (asserted against id-ordering in
+``tests/test_triangles.py``); id-ordering stays the default because the
+DuckDB SQL oracle mirrors it bit-for-bit.
 """
 
 from __future__ import annotations
@@ -22,30 +28,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def oriented_edges(edges: DataFrame) -> DataFrame:
-    """Distinct undirected pairs oriented ``src < dst`` (self-loops and
-    multiplicities dropped)."""
+def _undirected(edges: DataFrame) -> DataFrame:
     fwd = edges.select("src", "dst")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def oriented_edges(edges: DataFrame, ordering: str = "id") -> DataFrame:
+    """Distinct undirected pairs oriented low→high (self-loops and
+    multiplicities dropped).  ``ordering="id"``: lexicographic node id.
+    ``ordering="degree"``: (degree, id) rank — hub-proof wedge bound."""
+    und = _undirected(edges)
+    if ordering == "id":
+        return und.where(F.col("src") < F.col("dst"))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    d_src = deg.withColumnRenamed("src", "u").withColumnRenamed("deg", "du")
+    d_dst = deg.withColumnRenamed("src", "v").withColumnRenamed("deg", "dv")
     return (
-        fwd.unionByName(rev)
-        .where(F.col("src") < F.col("dst"))
-        .distinct()
+        und.join(d_src, und["src"] == d_src["u"])
+        .join(d_dst, und["dst"] == d_dst["v"])
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
     )
 
 
-def triangle_list(edges: DataFrame) -> DataFrame:
-    """All triangles as ``(a, b, c)`` with a < b < c."""
-    e = oriented_edges(edges)
+def triangle_list(edges: DataFrame, ordering: str = "id") -> DataFrame:
+    """All triangles as ``(a, b, c)`` ordered by the chosen orientation
+    rank (a < b < c under it)."""
+    e = oriented_edges(edges, ordering)
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
 
 
-def triangle_count(edges: DataFrame) -> int:
-    """Global triangle count."""
-    return triangle_list(edges).count()
+def triangle_count(edges: DataFrame, ordering: str = "id") -> int:
+    """Global triangle count (identical for every orientation)."""
+    return triangle_list(edges, ordering).count()
 
 
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:

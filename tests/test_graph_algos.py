@@ -67,3 +67,56 @@ def test_triangles_per_vertex(spark):
     rows = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0), ("c", "d", 1.0)]
     got = {r["node_id"]: r["triangles"] for r in triangles_per_vertex(_edges_df(spark, rows)).collect()}
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+# -------------------------------------------------------------------------
+# Round-2 cluster-scale refinements (VERDICT.md "What's missing" #5)
+# -------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,rows", GRAPHS, ids=_IDS)
+def test_connected_components_star_mode(spark, name, rows):
+    """Large-star/small-star alternation — same canonical min-labeling as
+    the local union-find oracle."""
+    res = connected_components(spark, _edges_df(spark, rows), mode="star")
+    assert res.converged
+    got = {r["node_id"]: r["component"] for r in res.components.collect()}
+    assert got == components_exact(rows)
+
+
+def test_star_mode_beats_diameter_on_path_graph(spark):
+    """A 40-node path has diameter 39: min-label needs ~39 supersteps,
+    star converges in O(log^2 n) — the reason it is the 10^12-edge mode."""
+    rows = [(f"n{i:02d}", f"n{i + 1:02d}", 1.0) for i in range(39)]
+    star = connected_components(spark, _edges_df(spark, rows), mode="star")
+    assert star.converged
+    got = {r["node_id"]: r["component"] for r in star.components.collect()}
+    assert got == components_exact(rows)
+    assert star.iterations <= 8, star.iterations  # log-ish, not 39
+
+
+def test_star_mode_isolated_nodes(spark):
+    rows = [("a", "b", 1.0)]
+    extra = spark.createDataFrame([("z",)], "node_id string")
+    res = connected_components(spark, _edges_df(spark, rows), extra_nodes=extra, mode="star")
+    got = {r["node_id"]: r["component"] for r in res.components.collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+@pytest.mark.parametrize("name,rows", GRAPHS, ids=_IDS)
+def test_triangle_degree_ordering_same_count(spark, name, rows):
+    """Degree-ordering (hub-proof orientation) counts the same triangles."""
+    e = _edges_df(spark, rows)
+    assert triangle_count(e, ordering="degree") == triangles_exact(rows)
+
+
+def test_triangle_degree_ordering_random(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for _ in range(300):
+        u, v = rng.integers(0, 40, 2)
+        if u != v:
+            rows.append((f"n{u:02d}", f"n{v:02d}", 1.0))
+    e = _edges_df(spark, rows)
+    assert triangle_count(e, ordering="degree") == triangle_count(e, ordering="id")

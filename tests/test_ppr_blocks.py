@@ -147,3 +147,43 @@ def test_batched_checkpoint_resume(spark, tmp_path):
     rv = resumed.ranks.toPandas().sort_values("node_id")["score"].to_numpy()
     assert np.allclose(fv, rv, atol=1e-9)
     assert resumed.metrics[0]["superstep"] == 8
+
+
+def test_string_id_layout_matches_local(spark, tmp_path):
+    """String-id branch of prepare_csr_blocks (id_map built by
+    range-partition + per-partition offsets — no single-partition global
+    window, VERDICT.md round-1 item 8): scores equal the local mode after
+    translating through the persisted id_map."""
+    import numpy as np
+
+    from hipporag_spark.ppr import personalized_pagerank
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for _ in range(400):
+        u, v = rng.integers(0, 50, 2)
+        if u != v:
+            rows.append((f"node{u:02d}", f"node{v:02d}", float(rng.integers(1, 4))))
+    edges = spark.createDataFrame(rows, "src string, dst string, weight double")
+    out = str(tmp_path / "strblocks")
+    meta = prepare_csr_blocks(spark, edges, out, n_blocks=4)
+    assert meta["id_map_path"] is not None
+    id_map = {r["node_id"]: r["idx"] for r in
+              spark.read.parquet(meta["id_map_path"]).collect()}
+    # dense ids are the global sorted rank, 0..n-1, regardless of
+    # partitioning
+    assert sorted(id_map.values()) == list(range(len(id_map)))
+    assert [k for k, _ in sorted(id_map.items(), key=lambda kv: kv[1])] == sorted(id_map)
+
+    seed = "node00" if "node00" in id_map else sorted(id_map)[0]
+    reset = np.zeros(len(id_map))
+    reset[id_map[seed]] = 1.0
+    res = ppr_from_blocks(spark, out, reset, damping=0.85, tol=1e-12)
+    got = {r["node_id"]: r["score"] for r in res.ranks.collect()}
+
+    rdf = spark.createDataFrame([(seed, 1.0)], "node_id string, reset_weight double")
+    want = personalized_pagerank(
+        spark, edges.withColumn("relation", F.lit("fact")), rdf,
+        damping=0.85, tol=1e-12, mode="local").ranks.collect()
+    for r in want:
+        assert abs(got[str(id_map[r["node_id"]])] - r["score"]) < 1e-9, r["node_id"]
