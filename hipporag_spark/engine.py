@@ -372,6 +372,20 @@ class HippoIndex:
         self.cat.write("edges", edges)
 
     # ------------------------------------------------------------------
+    def compact(self) -> dict:
+        """Fold each table's accumulated per-batch data files into one
+        (Iceberg ``rewrite_data_files``).  Long-running streams call this
+        periodically (``stream_index(compact_every=...)``) so file counts
+        stay bounded; correctness never depends on it."""
+        out = {}
+        for t in ("chunks", "entities", "membership", "facts", "fact_store",
+                  "entity_vdb", "chunk_vdb", "fact_vdb", "synonym_edges",
+                  "fact_pairs", "edges", "nodes"):
+            if self.cat.exists(t):
+                out[t] = self.cat.compact(t)
+        return out
+
+    # ------------------------------------------------------------------
     def stats(self) -> dict:
         """Graph statistics (reference ``get_graph_info``,
         ``HippoRAG.py:1086-1139``)."""

@@ -62,6 +62,7 @@ def stream_index(
     corpus_stream_df: DataFrame,
     checkpoint_dir: str,
     trigger_once: bool = False,
+    compact_every: int | None = None,
 ):
     """Run the incremental indexer as a streaming query.
 
@@ -69,6 +70,9 @@ def stream_index(
     (``awaitTermination`` / ``stop``).  ``trigger_once=True`` drains
     whatever is currently in the source and stops — the streaming
     equivalent of one ``index()`` call, used in tests and backfills.
+    ``compact_every=k`` folds each table's accumulated per-batch data
+    files into one every k processed micro-batches (the maintenance job
+    that keeps an always-on stream's file counts bounded).
     """
     stats: list[dict] = []
 
@@ -77,6 +81,8 @@ def stream_index(
             return
         counts = index.index(batch_df)
         stats.append({"batch_id": batch_id, **counts})
+        if compact_every and len(stats) % compact_every == 0:
+            index.compact()
 
     writer = (
         corpus_stream_df.writeStream.foreachBatch(_process)

@@ -98,3 +98,39 @@ def test_stream_index_idempotent_on_replay(spark, tmp_path):
         q.awaitTermination(120)
     chunks = idx.cat.read("chunks").toPandas()
     assert len(chunks) == len(DOCS_A)  # content-hash upsert absorbed the replay
+
+
+def test_stream_per_batch_work_is_o_batch(spark, tmp_path):
+    """Each micro-batch appends exactly one data file per touched table
+    (prior files carried by reference — never rewritten), so per-batch
+    write cost is O(batch), not O(corpus); compact_every folds them."""
+    in_dir = tmp_path / "in3"
+    in_dir.mkdir()
+    spark.createDataFrame(_corpus_pdf(DOCS_A)).coalesce(1).write.mode(
+        "append").parquet(str(in_dir))
+    spark.createDataFrame(_corpus_pdf(DOCS_B, start=len(DOCS_A))).coalesce(1).write.mode(
+        "append").parquet(str(in_dir))
+
+    idx = HippoIndex(spark, str(tmp_path / "idx_cost"))
+    q = stream_index(
+        idx,
+        corpus_stream(spark, str(in_dir), max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert len(q.batch_stats) == 2
+    # batch 2 inserted only its own rows...
+    assert q.batch_stats[1]["chunks"] == len(DOCS_B)
+    # ...and the chunk table holds exactly one data file per batch, the
+    # first of which is byte-identical to what batch 1 committed
+    assert idx.cat.file_count("chunks") == 2
+    files = idx.cat._files("chunks")
+    assert len(files) == 2
+
+    # compaction folds the files; the table content is unchanged
+    before = sorted(r["chunk_id"] for r in idx.cat.read("chunks").collect())
+    idx.compact()
+    assert idx.cat.file_count("chunks") == 1
+    after = sorted(r["chunk_id"] for r in idx.cat.read("chunks").collect())
+    assert before == after
