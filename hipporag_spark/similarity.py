@@ -34,7 +34,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_expr", "brute_force_topk", "ivf_topk", "lsh_topk"]
+__all__ = ["cosine_expr", "brute_force_topk", "ivf_topk", "lsh_topk",
+           "build_ivf_index", "ivf_topk_from_index"]
 
 
 def _dot(a, b):
@@ -172,6 +173,79 @@ def ivf_topk(
         .select("query_id", F.col("embedding").alias("qv"), "centroid_id")
     )
     cand = probes.join(
+        key_buckets.select("centroid_id", "vec_id", F.col("embedding").alias("kv")),
+        "centroid_id",
+    ).select("query_id", "vec_id", cosine_expr(F.col("qv"), F.col("kv")).alias("cos"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return cand.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    keys: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    iters: int = 3,
+    seed: int = 7,
+) -> dict:
+    """Persist the IVF layout: keys written as parquet **partitioned by
+    centroid_id** plus the trained centroid table — the write-once layout
+    a 100 TB ANN deployment keeps.  A probe then reads only
+    ``nprobe/n_centroids`` of the data via partition pruning; nothing is
+    re-trained or re-bucketed per query batch (the round-1 bench paid
+    centroid training on every ``ivf_topk`` call).
+
+    Returns ``{"n_keys": ..., "n_centroids": ...}``.
+    """
+    import json
+    import os
+
+    cents = train_centroids(spark, keys, n_centroids, iters, seed)
+    assigned = _assign(keys, cents)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(out_dir, "keys"))
+    cents.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    n_keys = spark.read.parquet(os.path.join(out_dir, "keys")).count()
+    meta = {"n_keys": int(n_keys), "n_centroids": int(n_centroids)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over a persisted :func:`build_ivf_index` layout.
+
+    The probe side (per-query nearest ``nprobe`` centroids) is tiny and
+    broadcast, so Spark's dynamic partition pruning restricts the key
+    scan to the probed ``centroid_id`` partitions — the plan reads
+    ``nprobe/n_centroids`` of the table, which is the whole point of IVF
+    at scale (asserted in ``tests/test_plans.py``).  Results are
+    identical to :func:`ivf_topk` with the same centroids.
+    """
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    key_buckets = spark.read.parquet(os.path.join(index_dir, "keys"))
+
+    qscored = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "embedding",
+        "centroid_id",
+        cosine_expr(F.col("embedding"), F.col("centroid")).alias("csim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("embedding").alias("qv"), "centroid_id")
+    )
+    cand = F.broadcast(probes).join(
         key_buckets.select("centroid_id", "vec_id", F.col("embedding").alias("kv")),
         "centroid_id",
     ).select("query_id", "vec_id", cosine_expr(F.col("qv"), F.col("kv")).alias("cos"))

@@ -76,3 +76,31 @@ def test_ivf_scores_are_exact_within_probed(spark, emb, exact):
     for r in approx.itertuples():
         if (r.query_id, r.vec_id) in ex.index:
             assert r.cos == pytest.approx(ex.loc[(r.query_id, r.vec_id)], abs=1e-12)
+
+
+def test_persisted_ivf_index_matches_inline(spark, tmp_path):
+    """build_ivf_index + ivf_topk_from_index ≡ ivf_topk with the same
+    trained centroids — the persisted layout changes the physical scan
+    (partition-pruned), never the result."""
+    from hipporag_spark.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    keys = emb.select("vec_id", "embedding")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    d = str(tmp_path / "ivf")
+    meta = build_ivf_index(spark, keys, d, n_centroids=8)
+    assert meta["n_keys"] == keys.count()
+
+    got = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk_from_index(spark, d, q, k=10, nprobe=3).collect()}
+    cents = train_centroids(spark, keys, n_centroids=8)
+    want = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in ivf_topk(spark, q, keys, k=10, n_centroids=8, nprobe=3,
+                              centroids=cents).collect()}
+    assert got == want
