@@ -8,11 +8,16 @@ cross rows through variable-order floating-point summation (PPR
 contributions, cosine similarities) are rounded (9 / 6 decimals) before
 the driver's value-hash compare.
 
-Graph-algorithm queries that SQL cannot express (converged PPR, connected
-components, label propagation, the full retrieval flow, approximate ANN,
-multimodal decode) are registered without an oracle — the driver records
-the weaker rows-only check and `python -m pytest tests/` carries their
-igraph/numpy oracles (tests/reference_impl.py).
+Every query carries an exact DuckDB oracle except `media_features`
+(blocked on the by-design codec stub — rows-only, numpy oracle in
+pytest).  The iterative graph algorithms are recursive CTEs (power
+iteration for PPR, min-label closure for components, two-phase
+semi-synchronous LPA via a self-loop-sentinel single-reference trick);
+IVF unrolls its seeded k-means training into chained CTEs; the full
+retrieval flow composes featurizer embeddings, fact linking, reset
+blending and batched PPR in one statement.  Iterative gate queries are
+pinned to the DISTRIBUTED physical modes (csr / dataframe) so the
+oracles verify the Spark kernels, not the driver-local fallback.
 """
 
 from __future__ import annotations
@@ -647,6 +652,60 @@ def _ivf_oracle_sql() -> str:
         SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10"""
 
 
+def _lpa_oracle_sql() -> str:
+    """Exact oracle for q_lpa: 20 two-phase supersteps of deterministic
+    semi-synchronous LPA as a recursive CTE.  The self-loop sentinel rows
+    carry each node's own label through the single allowed reference to
+    the recursive table (phase-0 and phase-1 helpers nest inside the
+    recursive member); masses are sums of integer pair counts, so the
+    max-mass/min-label pick is float-exact on both engines.  Early
+    convergence on the Spark side is equivalent — converged supersteps
+    are no-ops, and the oracle always runs the full 20."""
+    parity = "('0x' || substr(md5(o.node_id), 1, 2))::INT % 2"
+
+    def phase(src_cte: str, tag: str) -> str:
+        return f"""
+   j{tag} AS (SELECT a.src AS node_id, c.label, a.weight, a.is_self, c.it
+          FROM aug a JOIN {src_cte} c ON c.node_id = a.dst),
+   own{tag} AS (SELECT node_id, min(label) FILTER (WHERE is_self) AS own_label,
+                   max(it) AS it FROM j{tag} GROUP BY node_id),
+   nb{tag} AS (SELECT node_id, label, sum(weight) AS mass
+               FROM j{tag} WHERE NOT is_self GROUP BY 1, 2),
+   mm{tag} AS (SELECT node_id, max(mass) AS mm FROM nb{tag} GROUP BY 1),
+   pk{tag} AS (SELECT n.node_id, min(n.label) AS best
+          FROM nb{tag} n JOIN mm{tag} m USING (node_id)
+          WHERE n.mass = m.mm GROUP BY 1)"""
+
+    return f"""
+        WITH RECURSIVE {_TOKS_MAT}, {_PAIRS_MAT},
+        symm AS MATERIALIZED (SELECT src, dst, sum(weight) AS weight FROM (
+            SELECT subject AS src, object AS dst, weight FROM counts
+            UNION ALL SELECT object, subject, weight FROM counts)
+            GROUP BY 1, 2),
+        aug AS MATERIALIZED (
+            SELECT src, dst, weight, FALSE AS is_self FROM symm
+            UNION ALL
+            SELECT n.node_id, n.node_id, 0.0, TRUE
+            FROM (SELECT DISTINCT src AS node_id FROM symm) n),
+        pr(it, node_id, label) AS (
+            SELECT 0, node_id, node_id
+            FROM (SELECT DISTINCT src AS node_id FROM symm)
+            UNION ALL
+            (WITH cur AS (SELECT * FROM pr WHERE it < 20),
+             {phase('cur', '0')},
+             s0 AS (SELECT o.node_id,
+                        CASE WHEN {parity} = 0 AND p.best IS NOT NULL
+                             THEN p.best ELSE o.own_label END AS label,
+                        o.it
+                    FROM own0 o LEFT JOIN pk0 p USING (node_id)),
+             {phase('s0', '1')}
+             SELECT o.it + 1, o.node_id,
+                    CASE WHEN {parity} = 1 AND p.best IS NOT NULL
+                         THEN p.best ELSE o.own_label END
+             FROM own1 o LEFT JOIN pk1 p USING (node_id)))
+        SELECT node_id, label FROM pr WHERE it = 20"""
+
+
 def _emb_cte(name: str, src: str) -> str:
     """Sparse deterministic featurizer (hipporag_spark.embed) in SQL:
     char-3-grams of ' '||txt||' ', bucket = first md5 byte % 128 (equal to
@@ -977,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _lsh_oracle_sql(),
         "ivf_ann": _ivf_oracle_sql(),
         "retrieve": _retrieve_oracle_sql(),
+        "lpa": _lpa_oracle_sql(),
         "synonym_edges": f"""
             WITH v AS MATERIALIZED (
                 SELECT printf('vec%04d', vec_id) AS id, embedding::DOUBLE[] AS ve

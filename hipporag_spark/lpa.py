@@ -10,8 +10,10 @@ semi-synchronous LPA with min-label tie-breaking** so results are
 reproducible across runs and partitionings (SURVEY.md §4.3.7):
 
 - every node starts labeled with its own id;
-- nodes are deterministically 2-colored by ``crc32(node_id) % 2``
-  (crc32 is computable identically in Spark and numpy/zlib);
+- nodes are deterministically 2-colored by the parity of the first
+  md5 byte of the node id (md5 is computable identically in Spark,
+  python hashlib AND DuckDB — which is what lets the driver gate carry
+  an exact recursive-CTE oracle for LPA);
   each superstep updates color-0 nodes first (seeing current labels),
   then color-1 nodes (seeing the refreshed color-0 labels) — the
   standard semi-synchronous scheme that provably avoids the 2-cycle
@@ -63,7 +65,8 @@ def label_propagation(
     labels = nodes.select(
         "node_id",
         F.col("node_id").alias("label"),
-        F.pmod(F.crc32(F.col("node_id")), F.lit(2)).alias("color"),
+        F.pmod(F.conv(F.substring(F.md5(F.col("node_id")), 1, 2), 16, 10).cast("int"),
+               F.lit(2)).alias("color"),
     )
     labels = labels.localCheckpoint(eager=True)
 
@@ -114,7 +117,7 @@ def _lpa_local(spark, sym, max_iter) -> LPAResult:
     """Driver-local fast path — identical semantics, one collect (small
     graphs; per-superstep Spark job overhead dominates below
     ``local_edge_limit``, same rationale as ppr._run_local)."""
-    import zlib
+    import hashlib
 
     import pandas as pd
 
@@ -123,7 +126,8 @@ def _lpa_local(spark, sym, max_iter) -> LPAResult:
     for u, v, w in zip(pdf["src"], pdf["dst"], pdf["weight"]):
         adj.setdefault(u, {})[v] = adj.get(u, {}).get(v, 0.0) + w
     labels = {x: x for x in adj}
-    color = {x: zlib.crc32(str(x).encode()) % 2 for x in adj}
+    color = {x: int(hashlib.md5(str(x).encode()).hexdigest()[:2], 16) % 2
+             for x in adj}
 
     def phase(labels, ph):
         new = dict(labels)

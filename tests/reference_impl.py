@@ -113,11 +113,11 @@ def triangles_exact(edge_rows):
 
 def lpa_exact(edge_rows, max_iter=100):
     """Deterministic semi-synchronous label propagation with min-label
-    tie-breaking and crc32-parity 2-coloring — the same algorithm the
+    tie-breaking and md5-first-byte-parity 2-coloring — the same algorithm the
     engine implements (see ``hipporag_spark/lpa.py`` docstring for why
     determinism replaces igraph's randomized
     ``community_label_propagation``)."""
-    import zlib
+    import hashlib
 
     adj: dict = {}
     for u, v, w in edge_rows:
@@ -128,7 +128,8 @@ def lpa_exact(edge_rows, max_iter=100):
         adj[u][v] = adj[u].get(v, 0.0) + w
         adj[v][u] = adj[v].get(u, 0.0) + w
     labels = {x: x for x in adj}
-    color = {x: zlib.crc32(str(x).encode()) % 2 for x in adj}
+    color = {x: int(hashlib.md5(str(x).encode()).hexdigest()[:2], 16) % 2
+             for x in adj}
 
     def phase(labels, ph):
         new = dict(labels)
