@@ -423,6 +423,20 @@ def q_lsh_ann(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters over the verified LSH pair set —
+    pinned to the large-star/small-star distributed components mode so
+    the gate exercises the cluster-scale path."""
+    sh = dd.shingles(_docs(spark, sf_dir), n=1)
+    pairs = dd.lsh_candidate_pairs(sh, num_perm=8, bands=4, threshold=JACCARD_TH,
+                                   max_bucket=50)
+    return dd.duplicate_clusters(spark, pairs, mode="star")
+
+
+def q_dataset_split(spark, sf_dir):
+    return ts.dataset_split(_docs(spark, sf_dir))
+
+
 def q_synonym_edges(spark, sf_dir):
     """HippoRAG synonym-edge construction (HippoRAG.py:818-879 acceptance
     rules: eligibility, threshold, self/empty exclusion, 2047-candidate
@@ -479,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
         "synonym_edges": q_synonym_edges,
+        "dedup_clusters": q_dedup_clusters,
+        "dataset_split": q_dataset_split,
         "media_features": q_media_features,
     }
 
@@ -1011,6 +1027,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes za ON za.doc_id = i.doc_a
             JOIN sizes zb ON zb.doc_id = i.doc_b
             WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= {JACCARD_TH}""",
+        # transitive closure over the SAME verified LSH pair set as
+        # `lsh_pairs`, canonical label = cluster-minimum doc_id
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_DARR}, {_shingle_cte(1)},
+            sig AS (SELECT doc_id, {_minhash_cols(8)} FROM sh GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+            ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2
+                   HAVING count(*) BETWEEN 2 AND 50),
+            small AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM small a JOIN small b USING (band, band_key)
+                     WHERE a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.doc_a
+                      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+                      GROUP BY 1, 2),
+            lshp AS MATERIALIZED (
+                SELECT i.doc_a, i.doc_b
+                FROM inter i
+                JOIN sizes za ON za.doc_id = i.doc_a
+                JOIN sizes zb ON zb.doc_id = i.doc_b
+                WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= {JACCARD_TH}),
+            dnodes AS MATERIALIZED (
+                SELECT doc_a AS id FROM lshp UNION SELECT doc_b FROM lshp),
+            de AS MATERIALIZED (
+                SELECT doc_a AS src, doc_b AS dst FROM lshp
+                UNION ALL SELECT doc_b, doc_a FROM lshp),
+            reach(id, lbl) AS (
+                SELECT id, id FROM dnodes
+                UNION
+                SELECT de.dst, r.lbl FROM reach r JOIN de ON de.src = r.id)
+            SELECT id AS doc_id, min(lbl) AS cluster_id,
+                   (id = min(lbl)) AS is_keeper
+            FROM reach GROUP BY id""",
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                         / 4294967296.0 AS u
+                  FROM documents)""",
         "jaccard_pairs": f"""
             WITH {_DARR}, {_shingle_cte(1)},
             rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),

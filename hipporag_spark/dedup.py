@@ -49,6 +49,7 @@ __all__ = [
     "simhash_signatures",
     "jaccard_pairs",
     "embedding_neardup_pairs",
+    "duplicate_clusters",
 ]
 
 
@@ -313,4 +314,34 @@ def embedding_neardup_pairs(
             (dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
+    )
+
+
+def duplicate_clusters(spark, pairs: DataFrame, mode: str = "auto") -> DataFrame:
+    """Transitive near-duplicate clusters from a verified pair set.
+
+    Pairwise dedup is not enough for a training corpus: if A≈B and B≈C,
+    keeping "one of each pair" can still keep two near-copies of the same
+    content.  The standard fix is the transitive closure — connected
+    components over the near-dup pair graph — then keep ONE canonical
+    document per cluster.  Input: ``(doc_a, doc_b[, ...])`` from
+    :func:`lsh_candidate_pairs` / :func:`jaccard_pairs` /
+    :func:`embedding_neardup_pairs`.  Returns ``(doc_id, cluster_id,
+    is_keeper)`` for every document that appears in a pair; cluster_id =
+    the cluster's minimum doc_id, keeper = that document (deterministic).
+    Scales through :func:`hipporag_spark.components.connected_components`
+    (large-star/small-star above the local threshold).
+    """
+    from .components import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    comp = connected_components(spark, edges, mode=mode).components
+    return comp.select(
+        F.col("node_id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node_id") == F.col("component")).alias("is_keeper"),
     )

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["token_counts", "quality_scores", "language_id", "fingerprints", "BPE_PATTERN"]
+__all__ = ["token_counts", "quality_scores", "language_id", "fingerprints",
+           "dataset_split", "BPE_PATTERN"]
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum-non-space
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -133,3 +134,36 @@ def fingerprints(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
         F.sha2(F.col(text_col), 256).alias("content_sha"),
         F.array_min(grams).alias("min_shingle_hash"),
     )
+
+
+def dataset_split(
+    docs: DataFrame,
+    splits: list[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash — the standard leakage-safe split for a training corpus (a
+    document lands in the same split on every run, every cluster size,
+    and every re-partitioning; adding documents never moves old ones).
+
+    ``u = (first 8 md5 hex chars of "id:seed") / 2^32`` ∈ [0, 1); split
+    boundaries are the cumulative weights in the given order.  The hash
+    is md5 so the DuckDB oracle computes the identical assignment.
+    Returns ``(doc_id, split)``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    u = h / F.lit(float(1 << 32))
+    total = sum(w for _, w in splits)
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))

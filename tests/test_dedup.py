@@ -100,3 +100,36 @@ def test_embedding_neardup_vs_numpy(spark):
     expect = {(a, b) for a in range(5) for b in range(a + 1, 5) if cos[a, b] >= 0.99}
     assert set(zip(out.id_a, out.id_b)) == expect
     assert expect == {(0, 4)}
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A≈B, B≈C (A and C never paired) must land in ONE cluster with a
+    single keeper — the transitive-closure property pairwise dedup lacks."""
+    from hipporag_spark.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    for mode in ("local", "star", "dataframe"):
+        got = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+               for r in duplicate_clusters(spark, pairs, mode=mode).collect()}
+        assert got == {1: (1, True), 2: (1, False), 3: (1, False),
+                       10: (10, True), 11: (10, False)}, mode
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    from hipporag_spark.textstats import dataset_split
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    assert a == b  # rerun-stable
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.02 < c["val"] / 2000 < 0.09
+    assert 0.02 < c["test"] / 2000 < 0.09
+    # adding documents never moves existing ones (hash is per-id)
+    more = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    m = {r["doc_id"]: r["split"] for r in dataset_split(more).collect()}
+    assert all(m[k] == v for k, v in a.items())
