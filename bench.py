@@ -235,7 +235,8 @@ def main():
     out["value"] = round(sum(queries.values()), 3)
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        tag = f"e{BENCH_EDGES}_n{BENCH_NODES}_b{N_BLOCKS}"
+        # v2: identity-permutation ("relabeled") block layout
+        tag = f"e{BENCH_EDGES}_n{BENCH_NODES}_b{N_BLOCKS}_v2"
         blocks_dir = ensure_blocks(tag)
         # N→4N executor scaling (BASELINE.json north_rule, ≥0.8):
         # efficiency_N_to_4N is the local[8]→local[32] pair — the pair the

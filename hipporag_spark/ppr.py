@@ -467,21 +467,40 @@ def prepare_csr_blocks(
             loc_of[i] = fill[b]
             fill[b] += 1
             heapq.heappush(heap, (load + int(cnts[i]), b))
+        # ---- identity-permutation relabeling ----
+        # Renumber nodes so global index = (block offset + local slot):
+        # every task's contribution slice then lands in ONE contiguous
+        # span of the rank vector and peer-slice assembly is a sequential
+        # memcpy instead of a random fancy-scatter (the scatter was the
+        # dominant non-kernel cost at 32-way).  perm.npy maps original →
+        # relabeled ids; reset vectors translate on the way in, scores on
+        # the way out, so callers never see the internal numbering.
         npy_dir_early = _os.path.join(out_dir, "npy")
         _os.makedirs(npy_dir_early, exist_ok=True)
         for b in range(n_blocks):
-            sel = block_of == b
-            l2g = np.empty(int(sel.sum()), dtype=np.int64)
-            l2g[loc_of[sel]] = dsts[sel]
-            np.save(_os.path.join(npy_dir_early, f"l2g_{b}.npy"), l2g)
-            block_sizes.append(len(l2g))
+            block_sizes.append(int((block_of == b).sum()))
+        offs = np.zeros(n_blocks + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(block_sizes)
+        perm = np.full(n, -1, dtype=np.int64)
+        perm[dsts] = offs[block_of] + loc_of
+        isolated = np.flatnonzero(perm < 0)  # no in-edges: tail positions
+        perm[isolated] = np.arange(offs[-1], offs[-1] + len(isolated))
+        np.save(_os.path.join(npy_dir_early, "perm.npy"), perm)
         map_pdf = pd.DataFrame(
             {"dst_idx": dsts.astype(np.int32), "block": block_of,
              "dst_loc": loc_of.astype(np.int32)}
         )
         map_df = spark.createDataFrame(map_pdf)
-        norm = norm.join(F.broadcast(map_df), "dst_idx").drop("dst_idx")
-        layout = "balanced"
+        smap_df = spark.createDataFrame(pd.DataFrame(
+            {"src_idx": np.arange(n, dtype=np.int32),
+             "src_new": perm.astype(np.int32)}
+        ))
+        norm = (
+            norm.join(F.broadcast(map_df), "dst_idx").drop("dst_idx")
+            .join(F.broadcast(smap_df), "src_idx").drop("src_idx")
+            .withColumnRenamed("src_new", "src_idx")
+        )
+        layout = "relabeled"
     else:
         unit = False
         # dense ids without a single-partition global window (VERDICT.md
@@ -596,6 +615,8 @@ def prepare_csr_blocks(
     meta = {"n_nodes": n, "n_edges": int(n_edges), "n_blocks": n_blocks,
             "unit_weights": unit, "npy_blocks": int(converted),
             "layout": layout, "block_sizes": block_sizes,
+            "offsets": ([int(x) for x in np.cumsum([0] + block_sizes[:-1])]
+                        if layout == "relabeled" else []),
             "id_map_path": id_map_path}
     with open(_os.path.join(out_dir, "meta.json"), "w") as f:
         _json.dump(meta, f)
@@ -619,19 +640,33 @@ def _load_blocks_ctx(spark: SparkSession, blocks_dir: str, reset_idx) -> dict:
         b = int(p.split("block=")[1].split("/")[0])
         block_files.setdefault(b, []).append(p)
 
+    layout = meta.get("layout", "modulo")
+    perm = None
+    if layout == "relabeled":
+        # perm[original] = internal id; reset translates in, scores
+        # translate back out — callers stay in the original numbering
+        perm = np.load(_os.path.join(blocks_dir, "npy", "perm.npy"))
+
     r_reset = np.asarray(reset_idx, dtype=np.float64)
     r_reset = np.where(np.isnan(r_reset) | (r_reset < 0), 0.0, r_reset)
     total = r_reset.sum()
     if total <= 0:
         raise ValueError("reset vector sums to 0 after NaN/negative clamping")
     r_reset = r_reset / total
+    if perm is not None:
+        rr = np.empty(n, dtype=np.float64)
+        rr[perm] = r_reset
+        r_reset = rr
 
     # out-weight sidecar: dangling mask + (unit-weight layout) the 1/out_w
     # vector the kernel folds into the gather.  Driver-materialized — fine
     # to ~1e8 nodes; beyond that it would shard like the rank vector.
     owpdf = spark.read.parquet(f"{blocks_dir}/outw").toPandas()
     out_w = np.zeros(n, dtype=np.float64)
-    out_w[owpdf["idx"].to_numpy()] = owpdf["out_w"].to_numpy(dtype=np.float64)
+    ow_idx = owpdf["idx"].to_numpy()
+    if perm is not None:
+        ow_idx = perm[ow_idx]
+    out_w[ow_idx] = owpdf["out_w"].to_numpy(dtype=np.float64)
     dangling = out_w <= 0.0
     unit = bool(meta.get("unit_weights"))
     inv_w = np.zeros(n, dtype=np.float64)
@@ -639,22 +674,27 @@ def _load_blocks_ctx(spark: SparkSession, blocks_dir: str, reset_idx) -> dict:
     inv_w[nz] = 1.0 / out_w[nz]
     cols = ("src_idx", "dst_loc") if unit else ("src_idx", "dst_loc", "wn")
 
-    layout = meta.get("layout", "modulo")
     if layout == "balanced":
         l2g = {
             b: np.load(_os.path.join(blocks_dir, "npy", f"l2g_{b}.npy"))
             for b in range(n_blocks)
         }
         loc_lens = {b: len(l2g[b]) for b in range(n_blocks)}
+        offs = None
+    elif layout == "relabeled":
+        l2g = None
+        loc_lens = {b: meta["block_sizes"][b] for b in range(n_blocks)}
+        offs = {b: meta["offsets"][b] for b in range(n_blocks)}
     else:
         l2g = None
         loc_lens = {b: (n - b + n_blocks - 1) // n_blocks for b in range(n_blocks)}
+        offs = None
 
     return {
         "n": n, "n_blocks": n_blocks, "n_edges": int(meta["n_edges"]),
         "meta": meta, "block_files": block_files, "r_reset": r_reset,
         "dangling": dangling, "unit": unit, "inv_w": inv_w, "cols": cols,
-        "l2g": l2g, "loc_lens": loc_lens,
+        "l2g": l2g, "loc_lens": loc_lens, "perm": perm, "offs": offs,
         "npy_dir": _os.path.join(blocks_dir, "npy") if meta.get("npy_blocks") else None,
     }
 
@@ -707,6 +747,7 @@ def ppr_from_blocks(
     block_files, r_reset = ctx["block_files"], ctx["r_reset"]
     dangling, unit, inv_w = ctx["dangling"], ctx["unit"], ctx["inv_w"]
     cols, l2g, loc_lens = ctx["cols"], ctx["l2g"], ctx["loc_lens"]
+    perm, offs = ctx["perm"], ctx["offs"]
     sc = spark.sparkContext
     import os as _os
 
@@ -755,6 +796,8 @@ def ppr_from_blocks(
         for bid, local in parts:
             if l2g is not None:
                 contrib[l2g[bid]] = local
+            elif offs is not None:  # relabeled: contiguous span
+                contrib[offs[bid]:offs[bid] + len(local)] = local
             else:
                 contrib[bid::n_blocks] = local
         bc.destroy()
@@ -777,7 +820,8 @@ def ppr_from_blocks(
 
     if bc_inv is not None:
         bc_inv.destroy()
-    out = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": ranks}))
+    scores = ranks[perm] if perm is not None else ranks  # back to caller ids
+    out = spark.createDataFrame(pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": scores}))
     return PPRResult(out.select(F.col("idx").cast("string").alias("node_id"), "score"),
                      it + 1, converged, metrics)
 
@@ -844,6 +888,7 @@ def ppr_from_blocks_batched(
     block_files, r_reset = ctx["block_files"], ctx["r_reset"]
     dangling, unit, inv_w = ctx["dangling"], ctx["unit"], ctx["inv_w"]
     cols, l2g, loc_lens, npy_dir = ctx["cols"], ctx["l2g"], ctx["loc_lens"], ctx["npy_dir"]
+    perm, offs = ctx["perm"], ctx["offs"]
     sc = spark.sparkContext
     n_tasks = min(n_blocks, sc.defaultParallelism)
     existing = sorted(block_files.keys())
@@ -873,14 +918,15 @@ def ppr_from_blocks_batched(
             spark, sc, store, metrics, ranks, start_it, max_iter, converged,
             supersteps_per_job, xdir, n, n_tasks, n_blocks, existing,
             block_files, loc_lens, npy_dir, unit, cols, cache_limit,
-            blocks_dir, damping, tol, l2g, n_edges,
+            blocks_dir, damping, tol, l2g, n_edges, offs,
         )
     finally:
         # any failure (peer timeout, task error, driver exception) must not
         # leak rank/slice files into the tmpfs exchange dir
         _shutil.rmtree(xdir, ignore_errors=True)
+    scores = ranks[perm] if perm is not None else ranks  # back to caller ids
     out = spark.createDataFrame(
-        pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": ranks})
+        pd.DataFrame({"idx": np.arange(n, dtype=np.int64), "score": scores})
     )
     return PPRResult(out.select(F.col("idx").cast("string").alias("node_id"), "score"),
                      it, converged, metrics)
@@ -889,7 +935,7 @@ def ppr_from_blocks_batched(
 def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converged,
                   supersteps_per_job, xdir, n, n_tasks, n_blocks, existing,
                   block_files, loc_lens, npy_dir, unit, cols, cache_limit,
-                  blocks_dir, damping, tol, l2g, n_edges):
+                  blocks_dir, damping, tol, l2g, n_edges, offs=None):
     import os as _os
     import shutil as _shutil
 
@@ -905,7 +951,7 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                      _files=block_files, _lens=loc_lens, _l2g_dir=npy_dir,
                      _unit=unit, _cols=cols, _lim=cache_limit, _npy=npy_dir,
                      _n=n, _d=damping, _tol=tol, _bd=blocks_dir,
-                     _layout_balanced=(l2g is not None)):
+                     _layout_balanced=(l2g is not None), _offs=offs):
             import time as _t
 
             from pyspark import BarrierTaskContext
@@ -982,6 +1028,14 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                             arr = np.load(p, mmap_mode="r")
                             if _layout_balanced:
                                 contrib[peer_idx[t_]] = arr
+                            elif _offs is not None:
+                                # relabeled layout: each block's slice is
+                                # a contiguous span — sequential memcpy
+                                o = 0
+                                for b in task_blocks[t_]:
+                                    L = _lens[b]
+                                    contrib[_offs[b]:_offs[b] + L] = arr[o:o + L]
+                                    o += L
                             else:
                                 o = 0
                                 for b in task_blocks[t_]:
