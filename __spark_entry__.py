@@ -8,9 +8,10 @@ cross rows through variable-order floating-point summation (PPR
 contributions, cosine similarities) are rounded (9 / 6 decimals) before
 the driver's value-hash compare.
 
-Every query carries an exact DuckDB oracle except `media_features`
-(blocked on the by-design codec stub — rows-only, numpy oracle in
-pytest).  The iterative graph algorithms are recursive CTEs (power
+Every registered query carries an exact DuckDB oracle — including
+`media_features` (the fake decoder's sha256-chain payload reproduces in
+SQL; the real-codec plug point stays stubbed).  The iterative graph
+algorithms are recursive CTEs (power
 iteration for PPR, min-label closure for components, two-phase
 semi-synchronous LPA via a self-loop-sentinel single-reference trick);
 IVF unrolls its seeded k-means training into chained CTEs; the full
@@ -1216,6 +1217,20 @@ def oracle_sql() -> dict[str, str]:
                        LEFT JOIN hc ON hc.k = ks.k AND hc.query_id = gs.query_id
                        GROUP BY 1)
             SELECT k, round(recall, 9) AS recall FROM pooled""",
+        # fake-decoder features are sha256-derived from a sha256-chain
+        # payload, so the whole media pipeline reproduces in SQL: payload
+        # = concat of 8 sha256 hex digests (ASCII), digest = sha256 of
+        # that string, f0 = little-endian first-uint64 % 10000 / 10000
+        "media_features": f"""
+            WITH m AS (SELECT unnest(range(0, 64)) AS media_id),
+            dig AS (SELECT media_id,
+                           (['image', 'audio', 'video'])[(media_id % 3) + 1] AS kind,
+                           sha256({" || ".join(f"sha256('5:' || media_id::VARCHAR || ':{k}')" for k in range(8))}) AS h
+                    FROM m)
+            SELECT media_id, kind, 16 AS dim,
+                   round((('0x' || {"||".join(f"substr(h, {j}, 2)" for j in (15, 13, 11, 9, 7, 5, 3, 1))})::UBIGINT
+                          % 10000) / 10000.0, 6) AS f0
+            FROM dig""",
         "qa_em": """
             WITH pairs AS (
                 SELECT doc_id::VARCHAR AS query_id, text AS answer,

@@ -47,16 +47,21 @@ FEATURE_DIM = 16
 
 def attach_media(spark: SparkSession, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks: payload bytes
-    are seeded per media_id; metadata is consistent with ``kind``."""
+    are a per-media_id sha256 chain (512 ASCII-hex bytes — chosen over raw
+    RNG bytes so the driver gate's DuckDB oracle can reproduce the payload
+    AND the sha256-derived fake features exactly in SQL); metadata is
+    consistent with ``kind``."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                rng = np.random.default_rng(seed * 999_983 + int(i))
                 kind = kinds[int(i) % 3]
-                payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+                payload = "".join(
+                    hashlib.sha256(f"{seed}:{int(i)}:{k}".encode()).hexdigest()
+                    for k in range(8)
+                ).encode()
                 meta = {
                     "width": int(16 + (i % 4) * 16) if kind != "audio" else 0,
                     "height": int(16 + (i % 3) * 16) if kind != "audio" else 0,

@@ -16,7 +16,7 @@ def test_media_schema_and_metadata(media):
     assert len(rows) == 30
     for r in rows:
         assert r["kind"] in ("image", "audio", "video")
-        assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) == 256
+        assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) == 512
         m = r["meta"]
         if r["kind"] == "audio":
             assert m["sample_rate"] == 16000 and m["width"] == 0
@@ -44,7 +44,7 @@ def test_resize_updates_only_images(media):
             assert r["meta"]["width"] == 32 and r["meta"]["height"] == 32
             assert len(r["payload"]) == 32 * 32 // 8
         else:
-            assert len(r["payload"]) == 256
+            assert len(r["payload"]) == 512
 
 
 def test_sample_frames_counts(media):
