@@ -371,6 +371,17 @@ def q_ppr_scores(spark, sf_dir):
     return res.ranks.select("node_id", F.round("score", 6).alias("score"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Global PageRank (uniform teleport — the north_rule's first named
+    algorithm) at the same tol/rounding discipline as q_ppr_scores;
+    distributed csr kernel pinned."""
+    from hipporag_spark.ppr import pagerank
+
+    edges = _phrase_edges(_tokens(spark, sf_dir))
+    res = pagerank(spark, edges, damping=0.85, tol=1e-12, mode="csr")
+    return res.ranks.select("node_id", F.round("score", 6).alias("score"))
+
+
 def q_components(spark, sf_dir):
     """mode='dataframe' pins the distributed min-label hash-join loop (the
     oracle must verify the Spark implementation, not the local union-find
@@ -488,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_recall": q_eval_recall,
         "qa_em": q_qa_em,
         "ppr_scores": q_ppr_scores,
+        "pagerank_scores": q_pagerank,
         "components": q_components,
         "lpa": q_lpa,
         "retrieve": q_retrieve,
@@ -965,6 +977,36 @@ def oracle_sql() -> dict[str, str]:
             seeds AS (SELECT node_id FROM nodes WHERE node_id IN ('key', 'row', 'table')),
             r AS MATERIALIZED (
                 SELECT node_id, 1.0 / (SELECT count(*) FROM seeds) AS rw FROM seeds),
+            outw AS MATERIALIZED (SELECT src, sum(weight) AS out_w FROM sym GROUP BY 1),
+            nw AS MATERIALIZED (
+                SELECT e.src, e.dst, e.weight / o.out_w AS wn,
+                       coalesce(r.rw, 0.0) AS dst_rw
+                FROM sym e JOIN outw o ON o.src = e.src
+                LEFT JOIN r ON r.node_id = e.dst),
+            pr(it, node_id, p) AS (
+                SELECT 0, n.node_id, coalesce(r.rw, 0.0)
+                FROM nodes n LEFT JOIN r USING (node_id)
+                UNION ALL
+                SELECT pr.it + 1, e.dst,
+                       0.85 * sum(pr.p * e.wn) + 0.15 * any_value(e.dst_rw)
+                FROM pr JOIN nw e ON e.src = pr.node_id
+                WHERE pr.it < 150
+                GROUP BY e.dst, pr.it)
+            SELECT node_id, round(p, 6) AS score FROM pr WHERE it = 150""",
+        # global PageRank: the ppr_scores power iteration with a uniform
+        # teleport vector over every node
+        "pagerank_scores": f"""
+            WITH RECURSIVE {_TOKS_MAT}, {_PAIRS_MAT},
+            edges AS (
+                SELECT subject AS src, object AS dst, weight FROM counts
+                UNION ALL SELECT object, subject, weight FROM counts
+                UNION ALL SELECT chunk_id, token, 1.0 FROM toks),
+            sym AS MATERIALIZED (SELECT src, dst, sum(weight) AS weight FROM (
+                SELECT src, dst, weight FROM edges
+                UNION ALL SELECT dst, src, weight FROM edges) GROUP BY 1, 2),
+            nodes AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM sym),
+            r AS MATERIALIZED (
+                SELECT node_id, 1.0 / (SELECT count(*) FROM nodes) AS rw FROM nodes),
             outw AS MATERIALIZED (SELECT src, sum(weight) AS out_w FROM sym GROUP BY 1),
             nw AS MATERIALIZED (
                 SELECT e.src, e.dst, e.weight / o.out_w AS wn,

@@ -36,6 +36,7 @@ from .corpus import corpus_from_documents, synthesize_corpus  # noqa: E402
 from .extract import extract_all  # noqa: E402
 from .graph import build_graph, symmetrize  # noqa: E402
 from .ppr import (  # noqa: E402
+    pagerank,
     personalized_pagerank,
     personalized_pagerank_batch,
     ppr_from_blocks,
@@ -54,7 +55,7 @@ __all__ = [
     "get_spark",
     "corpus_from_documents", "synthesize_corpus", "extract_all",
     "build_graph", "symmetrize",
-    "personalized_pagerank", "personalized_pagerank_batch",
+    "pagerank", "personalized_pagerank", "personalized_pagerank_batch",
     "ppr_from_blocks", "ppr_from_blocks_batched", "prepare_csr_blocks",
     "connected_components", "label_propagation",
     "triangle_count", "triangle_list",

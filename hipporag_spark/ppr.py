@@ -147,6 +147,27 @@ def personalized_pagerank(
     return res
 
 
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iter: int = 500,
+    mode: str = "auto",
+    **kwargs,
+) -> PPRResult:
+    """Global (non-personalized) PageRank — the north_rule's first named
+    algorithm as a convenience over :func:`personalized_pagerank` with a
+    uniform reset across every edge endpoint (the standard PageRank
+    teleport vector).  Same physical modes, checkpointing and semantics."""
+    sym_nodes = (
+        symmetrize(edges).select(F.col("src").alias("node_id")).distinct()
+    )
+    reset = sym_nodes.withColumn("reset_weight", F.lit(1.0))
+    return personalized_pagerank(spark, edges, reset, damping=damping, tol=tol,
+                                 max_iter=max_iter, mode=mode, **kwargs)
+
+
 def personalized_pagerank_batch(
     spark: SparkSession,
     edges: DataFrame,

@@ -181,3 +181,22 @@ def test_batch_dataframe_checkpoint_resume(spark, tmp_path):
     fp = {(r["query_id"], r["node_id"]): r["score"] for r in full.collect()}
     for kk in fp:
         assert abs(rp[kk] - fp[kk]) < 1e-10, kk
+
+
+def test_global_pagerank_uniform_reset(spark):
+    """pagerank() == personalized_pagerank with a uniform reset over all
+    endpoints — the north_rule's first named algorithm as a convenience."""
+    from hipporag_spark.ppr import pagerank
+
+    rows, _ = _random_graph(n_nodes=40, n_edges=200, seed=11)
+    edges = spark.createDataFrame(
+        [(u, v, float(w), "fact") for u, v, w in rows],
+        "src string, dst string, weight double, relation string",
+    )
+    res = pagerank(spark, edges, damping=0.85, tol=1e-10, mode="local")
+    assert res.converged
+    got = {r["node_id"]: r["score"] for r in res.ranks.collect()}
+    nodes = sorted(got)
+    want = ppr_exact(rows, {n: 1.0 for n in nodes}, 0.85)
+    for n in nodes:
+        assert abs(got[n] - want[n]) < 1e-6, n
