@@ -231,5 +231,36 @@ class Catalog:
         self._commit(name, [rel])
         return len(files)
 
+    def vacuum(self, name: str, keep_versions: int = 1) -> int:
+        """Delete data directories referenced only by expired version
+        manifests (Iceberg ``expire_snapshots``): keeps the newest
+        ``keep_versions`` manifests' files plus the current pointer's.
+        Returns the number of data dirs removed.  Never required for
+        correctness — bounds disk growth for long-lived catalogs."""
+        tdir = self._tdir(name)
+        if not self.exists(name):
+            return 0
+        manifests = sorted(
+            f for f in os.listdir(tdir) if f.startswith("v") and f.endswith(".json")
+        )
+        keep_manifests = set(manifests[-max(keep_versions, 1):])
+        keep_manifests.add(self._current(name))
+        live: set[str] = set()
+        for m in keep_manifests:
+            p = os.path.join(tdir, m)
+            if os.path.exists(p):
+                with open(p) as f:
+                    live.update(json.load(f)["files"])
+        removed = 0
+        for entry in os.listdir(tdir):
+            if entry.startswith("d") and os.path.isdir(os.path.join(tdir, entry)) \
+                    and entry not in live:
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+                removed += 1
+        for m in manifests:
+            if m not in keep_manifests:
+                os.unlink(os.path.join(tdir, m))
+        return removed
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)

@@ -398,6 +398,11 @@ def _batch_dataframe(spark, sym, resets_c, damping, tol, max_iter,
         .join(ranks, ["query_id", "node_id"], "left")
         .select("query_id", "node_id", F.coalesce(F.col("rank"), F.lit(0.0)).alias("score"))
     )
+    # ranks is localCheckpoint-backed and universe stays cached for the
+    # output's lineage; the loop-only relations can go now
+    norm.unpersist()
+    dangling_ids.unpersist()
+    R.unpersist()
     return out
 
 

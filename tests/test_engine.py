@@ -214,3 +214,25 @@ def test_rerank_hook_changes_kept_facts(spark, engine):
     b_scores = [(r_["doc_id"], r_["rank"], round(r_["score"], 9)) for r_ in base]
     r_scores = [(r_["doc_id"], r_["rank"], round(r_["score"], 9)) for r_ in rer]
     assert b_scores != r_scores
+
+
+def test_catalog_vacuum_removes_expired_data(spark, engine, tmp_path):
+    """vacuum (expire_snapshots analog) deletes data dirs referenced only
+    by expired manifests; the live table is untouched."""
+    import os
+
+    engine.index(spark.createDataFrame(BATCH1, SCHEMA))
+    engine.index(spark.createDataFrame(BATCH2, SCHEMA))
+    cat = engine.cat
+    before_rows = sorted(r["chunk_id"] for r in cat.read("chunks").collect())
+    tdir = cat._tdir("chunks")
+    n_dirs_before = sum(1 for e in os.listdir(tdir)
+                        if e.startswith("d") and os.path.isdir(os.path.join(tdir, e)))
+    cat.compact("chunks")  # old files now referenced only by old manifests
+    removed = cat.vacuum("chunks")
+    assert removed >= 1
+    n_dirs_after = sum(1 for e in os.listdir(tdir)
+                       if e.startswith("d") and os.path.isdir(os.path.join(tdir, e)))
+    assert n_dirs_after < n_dirs_before + 1  # compacted file is the survivor
+    after_rows = sorted(r["chunk_id"] for r in cat.read("chunks").collect())
+    assert before_rows == after_rows
