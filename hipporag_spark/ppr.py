@@ -43,6 +43,15 @@ Two physical strategies, auto-selected:
 Both paths checkpoint per-superstep state + metrics through
 :class:`hipporag_spark.checkpoint.CheckpointStore` and resume
 mid-iteration (``resume=True``).
+
+Beyond the single-query modes this module provides :func:`pagerank`
+(global uniform-teleport variant), :func:`personalized_pagerank_batch`
+(multi-query; distributed (query_id, node_id) dataframe mode above the
+local threshold), and the CSR-block paths :func:`ppr_from_blocks` /
+:func:`ppr_from_blocks_batched` over :func:`prepare_csr_blocks` layouts
+— the throughput/benchmark path, with the round-2 "relabeled"
+identity-permutation layout (contiguous per-task slices, single-gather
+folded kernel).
 """
 
 from __future__ import annotations
