@@ -227,6 +227,19 @@ def q_triangle_count(spark, sf_dir):
     return spark.createDataFrame([(tri,)], "n_triangles long")
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Global clustering coefficient over the phrase co-occurrence graph
+    (3·triangles / wedges) — the density diagnostic the north_star pairs
+    with triangle counting."""
+    from hipporag_spark.triangles import clustering_coefficient
+
+    pairs = _pair_counts(_tokens(spark, sf_dir)).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst"),
+        F.lit(1.0).alias("weight"))
+    out = clustering_coefficient(pairs)
+    return out.select("n_triangles", "n_wedges", F.round("global_cc", 9).alias("global_cc"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(_docs(spark, sf_dir))
 
@@ -484,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_dist": q_degree_dist,
         "ppr_step1": q_ppr_step1,
         "triangle_count": q_triangle_count,
+        "clustering_coeff": q_clustering_coeff,
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
@@ -1038,6 +1052,21 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node_id)
             SELECT node_id, min(lbl) AS component FROM reach GROUP BY node_id""",
+        "clustering_coeff": f"""
+            WITH {_TOKS}, {_PAIRS},
+            und AS (SELECT subject AS src, object AS dst FROM counts
+                    UNION ALL SELECT object, subject FROM counts),
+            deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+            w AS (SELECT sum(deg * (deg - 1) / 2)::BIGINT AS n_wedges FROM deg),
+            e AS (SELECT subject AS a, object AS b FROM counts),
+            t AS (SELECT count(*) AS n_triangles
+                  FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT t.n_triangles, w.n_wedges,
+                   round(CASE WHEN w.n_wedges > 0
+                              THEN 3.0 * t.n_triangles / w.n_wedges
+                              ELSE 0.0 END, 9) AS global_cc
+            FROM t, w""",
         "dedup_exact": """
             SELECT sha256(text) AS content_sha, min(doc_id) AS keeper_id, count(*) AS n_dups
             FROM documents GROUP BY 1 HAVING count(*) >= 2""",

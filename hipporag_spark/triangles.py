@@ -70,6 +70,30 @@ def triangle_count(edges: DataFrame, ordering: str = "id") -> int:
     return triangle_list(edges, ordering).count()
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient — the north_star's "graph-density
+    diagnostics" companion to the raw triangle count:
+
+        C = 3·triangles / wedges,   wedges = Σ_v d(v)·(d(v)−1)/2
+
+    over the simple undirected graph.  One aggregate over the degree
+    table plus the oriented two-join count; returns a single row
+    ``(n_triangles, n_wedges, global_cc)``."""
+    und = _undirected(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedges_row = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+    ).collect()[0]
+    n_wedges = int(wedges_row["w"] or 0)
+    n_tri = triangle_count(edges)
+    cc = (3.0 * n_tri / n_wedges) if n_wedges else 0.0
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_tri, n_wedges, cc)],
+        "n_triangles long, n_wedges long, global_cc double",
+    )
+
+
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """``(node_id, triangles)`` — per-vertex participation count."""
     tl = triangle_list(edges)

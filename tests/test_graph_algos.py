@@ -120,3 +120,14 @@ def test_triangle_degree_ordering_random(spark):
             rows.append((f"n{u:02d}", f"n{v:02d}", 1.0))
     e = _edges_df(spark, rows)
     assert triangle_count(e, ordering="degree") == triangle_count(e, ordering="id")
+
+
+def test_clustering_coefficient(spark):
+    """Triangle+tail graph: 1 triangle; degrees a=2,b=2,c=3,d=1 →
+    wedges = 1+1+3+0 = 5 → C = 3/5."""
+    from hipporag_spark.triangles import clustering_coefficient
+
+    rows = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0), ("c", "d", 1.0)]
+    row = clustering_coefficient(_edges_df(spark, rows)).collect()[0]
+    assert row["n_triangles"] == 1 and row["n_wedges"] == 5
+    assert abs(row["global_cc"] - 0.6) < 1e-12
