@@ -197,12 +197,26 @@ class Catalog:
             self._commit(name, new_files)
         return removed
 
-    def delete_keys(self, name: str, keys: DataFrame, key: str) -> int:
-        """DELETE FROM name WHERE key IN (SELECT key FROM keys) — the
-        anti-join form of :meth:`delete_where` (no driver-side key list,
-        VERDICT.md round-1 item 5).  ``keys`` is broadcast per file."""
+    def _key_df(self, keys: DataFrame, key: str) -> DataFrame:
+        """The deduplicated key column, selected BY NAME.  A positional
+        ``columns[0]`` would silently match on the wrong column for a
+        multi-column or reordered input (ADVICE r2); a single-column input
+        under a different name is accepted and aliased."""
+        if key in keys.columns:
+            kdf = keys.select(key)
+        elif len(keys.columns) == 1:
+            kdf = keys.select(F.col(keys.columns[0]).alias(key))
+        else:
+            raise ValueError(
+                f"key column {key!r} not found in {keys.columns}; "
+                "pass a DataFrame containing it (or exactly one column)")
+        return kdf.dropDuplicates([key])
+
+    def _rewrite_without_keys(self, name: str, kdf: DataFrame, key: str) -> tuple[list[str], int]:
+        """Copy-on-write pass: rewrite only data files containing a key
+        match; untouched files carry over by reference.  Returns the new
+        file list and the number of rows removed (no commit)."""
         tdir = self._tdir(name)
-        kdf = F.broadcast(keys.select(F.col(keys.columns[0]).alias(key)).dropDuplicates([key]))
         new_files: list[str] = []
         removed = 0
         for rel in self._files(name):
@@ -215,10 +229,36 @@ class Catalog:
             keep = fdf.join(kdf, key, "left_anti")
             if keep.count():
                 new_files.append(self._write_data(name, keep))
+        return new_files, removed
+
+    def delete_keys(self, name: str, keys: DataFrame, key: str) -> int:
+        """DELETE FROM name WHERE key IN (SELECT key FROM keys) — the
+        anti-join form of :meth:`delete_where` (no driver-side key list,
+        VERDICT.md round-1 item 5).  ``keys`` is broadcast per file."""
+        kdf = F.broadcast(self._key_df(keys, key))
+        new_files, removed = self._rewrite_without_keys(name, kdf, key)
         if removed:
             if not new_files:
                 new_files = [self._write_data(name, self.read(name).limit(0))]
             self._commit(name, new_files)
+        return removed
+
+    def replace_keys(self, name: str, keys: DataFrame, df: DataFrame, key: str) -> int:
+        """Atomic DELETE-keys + INSERT in ONE snapshot commit (Iceberg
+        ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED THEN UPDATE *
+        WHEN NOT MATCHED THEN INSERT *``).  Files containing a matching key
+        are rewritten without those rows, the replacement rows land in one
+        new data file, and both changes publish in a single manifest swap —
+        a crash leaves either the old snapshot or the new one, never a
+        deleted-but-not-yet-appended middle state (ADVICE r2,
+        engine.py:287).  Returns rows removed."""
+        if not self.exists(name):
+            self.write(name, df)
+            return 0
+        kdf = F.broadcast(self._key_df(keys, key))
+        new_files, removed = self._rewrite_without_keys(name, kdf, key)
+        new_files.append(self._write_data(name, df))
+        self._commit(name, new_files)
         return removed
 
     def compact(self, name: str) -> int:

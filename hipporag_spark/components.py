@@ -165,8 +165,15 @@ def _cc_star(spark, und, nodes, max_iter) -> CCResult:
             break
 
     # fixpoint edges are stars rooted at component minima: every non-root
-    # node appears as src exactly once with dst = its component min
-    child = edges.select(F.col("src").alias("node_id"), F.col("dst").alias("component"))
+    # node appears as src exactly once with dst = its component min.  If
+    # max_iter was hit first a node can still appear as src several times
+    # with inconsistent partial labels, so take min(component) per node —
+    # a no-op at fixpoint, and at worst a coarser-but-consistent label
+    # otherwise (ADVICE r2, components.py:169).
+    child = (
+        edges.groupBy(F.col("src").alias("node_id"))
+        .agg(F.min("dst").alias("component"))
+    )
     out = (
         nodes.join(child, "node_id", "left")
         .select("node_id", F.coalesce(F.col("component"), F.col("node_id")).alias("component"))

@@ -139,8 +139,10 @@ class HippoIndex:
             "fact_id", F.concat_ws(" ", "subject", "predicate", "object").alias("fact_text"))
         counts["fact_vdb"] = self._embed_store("fact_vdb", fact_texts, "fact_id", "fact_text")
 
-        new_syn = self._update_synonyms(new_entities) if self.synonyms else None
-        counts["synonym_edges"] = new_syn.count() if new_syn is not None else 0
+        if self.synonyms:
+            new_syn, counts["synonym_edges"] = self._update_synonyms(new_entities)
+        else:
+            new_syn, counts["synonym_edges"] = None, 0
         fact_touched = self._apply_fact_delta(new_facts)
         self._upsert_nodes(t)
         if self.synonyms and self.synonym_queries == "all":
@@ -173,28 +175,38 @@ class HippoIndex:
         return n
 
     # ------------------------------------------------------------------
-    def _update_synonyms(self, new_entities: DataFrame | None) -> DataFrame | None:
+    def _update_synonyms(self, new_entities: DataFrame | None) -> tuple[DataFrame | None, int]:
         """Extend the persisted synonym-edge table from the batch's new
-        entities (queries) against the full entity store (keys); returns
-        the appended delta rows."""
+        entities (queries) against the full entity store (keys).  Returns
+        ``(handle, inserted)``: the rows downstream edge maintenance must
+        consider, plus the number of rows actually INSERTED this batch —
+        kept separate so ``counts['synonym_edges']`` reports delta-row
+        semantics consistently with every other counts entry even in
+        ``synonym_queries='all'`` mode, where the handle is the whole
+        recomputed table (ADVICE r2, engine.py:143)."""
         if new_entities is None:
-            return None
+            return None, 0
         ents = self.cat.read("entity_vdb")  # (entity_id, phrase, embedding)
         if self.synonym_queries == "all" or not self.cat.exists("synonym_edges"):
+            old = (self.cat.read("synonym_edges").select("src", "dst")
+                   if self.cat.exists("synonym_edges") else None)
             syn = knn_synonym_edges(
                 self.spark, ents,
                 topk=self.synonym_topk, threshold=self.synonym_threshold)
             self.cat.write("synonym_edges", syn)
-            return self.cat.read("synonym_edges").persist()
+            table = self.cat.read("synonym_edges").persist()
+            inserted = (table.count() if old is None
+                        else table.join(old, ["src", "dst"], "left_anti").count())
+            return table, inserted
         qs = ents.join(new_entities.select("entity_id"), "entity_id", "left_semi")
         syn = knn_synonym_edges(
             self.spark, ents, queries=qs,
             topk=self.synonym_topk, threshold=self.synonym_threshold).persist()
         if syn.isEmpty():
             syn.unpersist()
-            return None
+            return None, 0
         self.cat.append("synonym_edges", syn)
-        return syn
+        return syn, syn.count()
 
     # ------------------------------------------------------------------
     def _apply_fact_delta(self, new_facts: DataFrame | None) -> DataFrame | None:
@@ -222,8 +234,9 @@ class HippoIndex:
                     "pkey", "subject", "object",
                     (F.coalesce(F.col("old_cnt"), F.lit(0)) + F.col("dcnt")).alias("cnt"))
             )
-            self.cat.delete_keys("fact_pairs", delta.select("pkey"), "pkey")
-            self.cat.append("fact_pairs", merged)
+            # single-snapshot MERGE: a crash can no longer land between the
+            # delete and the append and drop the touched counts (ADVICE r2)
+            self.cat.replace_keys("fact_pairs", delta.select("pkey"), merged, "pkey")
         touched = delta.select("subject", "object")
         delta.unpersist()
         return touched
@@ -284,8 +297,9 @@ class HippoIndex:
                 self.cat.read("synonym_edges").select("src", "dst", "weight", "relation")
                 .join(touched, ["src", "dst"], "left_semi"))
         merged = validate_edges(merge_edges(*frames), nodes).withColumn("ekey", _ekey())
-        self.cat.delete_keys("edges", touched.select(_ekey().alias("ekey")), "ekey")
-        self.cat.append("edges", merged)
+        # atomic MERGE INTO edges: one snapshot holds both the removal of the
+        # touched pairs and their replacement rows (ADVICE r2)
+        self.cat.replace_keys("edges", touched.select(_ekey().alias("ekey")), merged, "ekey")
         touched.unpersist()
 
     # ------------------------------------------------------------------

@@ -236,3 +236,71 @@ def test_catalog_vacuum_removes_expired_data(spark, engine, tmp_path):
     assert n_dirs_after < n_dirs_before + 1  # compacted file is the survivor
     after_rows = sorted(r["chunk_id"] for r in cat.read("chunks").collect())
     assert before_rows == after_rows
+
+
+def test_replace_keys_is_one_snapshot(spark, tmp_path):
+    """replace_keys publishes the delete and the insert in a SINGLE
+    manifest commit (ADVICE r2): the version count advances by exactly one
+    and the result equals delete_keys + append."""
+    import os
+
+    from hipporag_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "c"))
+    cat.write("t", spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "key string, v int"))
+    cat.append("t", spark.createDataFrame([("d", 4)], "key string, v int"))
+
+    def n_versions():
+        return sum(1 for f in os.listdir(cat._tdir("t"))
+                   if f.startswith("v") and f.endswith(".json"))
+
+    before = n_versions()
+    removed = cat.replace_keys(
+        "t",
+        spark.createDataFrame([("b",), ("d",)], "key string"),
+        spark.createDataFrame([("b", 20), ("d", 40)], "key string, v int"),
+        key="key")
+    assert removed == 2
+    assert n_versions() == before + 1
+    rows = {r["key"]: r["v"] for r in cat.read("t").collect()}
+    assert rows == {"a": 1, "b": 20, "c": 3, "d": 40}
+
+
+def test_delete_keys_selects_key_by_name(spark, tmp_path):
+    """delete_keys must match on the column NAMED `key`, not positionally
+    (ADVICE r2): a multi-column keys frame with `key` not first still
+    deletes the right rows; a multi-column frame lacking it raises."""
+    import pytest as _pytest
+
+    from hipporag_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "c"))
+    cat.write("t", spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "key string, v int"))
+    keys = spark.createDataFrame(
+        [("zzz", "b")], "other string, key string")  # `key` is column 2
+    assert cat.delete_keys("t", keys, key="key") == 1
+    assert sorted(r["key"] for r in cat.read("t").collect()) == ["a", "c"]
+    with _pytest.raises(ValueError):
+        cat.delete_keys(
+            "t", spark.createDataFrame([("a", "b")], "x string, y string"), key="key")
+
+
+def test_index_crash_between_fact_delta_steps_is_impossible(spark, engine):
+    """The fact_pairs merge is now a single replace_keys snapshot; verify
+    counts survive a re-run and the merged counts are right after two
+    overlapping batches (regression for the ADVICE r2 crash-window item)."""
+    engine.index(spark.createDataFrame(BATCH1, SCHEMA))
+    engine.index(spark.createDataFrame(BATCH2, SCHEMA))
+    fp = {(r["subject"], r["object"]): r["cnt"]
+          for r in engine.cat.read("fact_pairs").collect()}
+    # beta-delta: chunk b.py contributes (beta,delta)+(delta,beta)? — pairs
+    # are per ordered co-occurrence; just assert all counts positive and
+    # the table is consistent with a from-scratch recompute
+    from pyspark.sql import functions as F2
+    recomputed = {(r["subject"], r["object"]): r["cnt"]
+                  for r in engine.cat.read("facts")
+                  .groupBy("subject", "object")
+                  .agg(F2.count(F2.lit(1)).cast("long").alias("cnt")).collect()}
+    assert fp == recomputed

@@ -131,3 +131,23 @@ def test_clustering_coefficient(spark):
     row = clustering_coefficient(_edges_df(spark, rows)).collect()[0]
     assert row["n_triangles"] == 1 and row["n_wedges"] == 5
     assert abs(row["global_cc"] - 0.6) < 1e-12
+
+
+def test_cc_star_nonconverged_emits_one_label_per_node(spark):
+    """If max_iter halts star-contraction early, labels must still be one
+    row per node (min-aggregated), never duplicated (ADVICE r2)."""
+    from hipporag_spark.components import _cc_star
+    from pyspark.sql import functions as F
+
+    # long path graph: needs several star rounds to converge
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], "src string, dst string")
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = spark.createDataFrame([(f"n{i:03d}",) for i in range(n)], "node_id string")
+    res = _cc_star(spark, und, nodes, max_iter=1)
+    assert not res.converged
+    out = res.components.collect()
+    assert len(out) == n
+    assert len({r["node_id"] for r in out}) == n
