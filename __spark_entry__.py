@@ -262,7 +262,10 @@ def q_simhash_sigs(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    out = dd.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=NEARDUP_COS)
+    # mode pinned to the exact all-pairs variant — it IS the oracle;
+    # production defaults to mode="auto" (LSH-bucketed above 100k rows)
+    out = dd.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=NEARDUP_COS, mode="exact")
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 

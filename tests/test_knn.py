@@ -61,3 +61,23 @@ def test_embed_deterministic_and_normalized():
     assert np.allclose(a[0], a[1])
     assert not np.allclose(a[0], a[2])
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-6)
+
+
+def test_embed_batch_matches_scalar():
+    """The vectorized featurizer must stay BIT-identical to the scalar
+    reference path — the DuckDB retrieve/synonym oracles encode the same
+    md5-bucket semantics (VERDICT r2 item 5 vectorization)."""
+    import numpy as np
+
+    from hipporag_spark.embed import _embed_one, embed_batch
+
+    texts = [
+        "", "a", "ab", "alpha", "alpha_beta", "ALPHA beta-9",
+        "def scan(x): return x+1", "日本語テキスト", " spaces  inside ",
+        "x" * 500, "ident00042 ident00043 " * 40,
+    ]
+    for dim in (16, 128, 100):  # 100 does NOT divide 256 — generic-h path
+        got = embed_batch(texts, dim)
+        want = np.stack([_embed_one(t, dim) for t in texts])
+        assert got.dtype == np.float32 and got.shape == want.shape
+        assert np.array_equal(got, want), f"dim={dim}"
