@@ -1019,8 +1019,28 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
             # reused per-step buffers: fresh 8·n-byte allocations every
             # superstep would pay first-touch page faults + memset churn
             contrib = np.empty(_n, dtype=np.float64)
-            tmp = np.empty(_n, dtype=np.float64)
-            diff = np.empty(_n, dtype=np.float64)
+            # global positions of this task's slice elements, slice order
+            # — the blend below is SLICE-LOCAL: each of the n elements is
+            # blended exactly once, by the task that owns its dst-slice.
+            # The full-vector blend this replaces was O(n) work replicated
+            # in every task (at 32-way: 32 × ~6 passes over 8·n bytes of
+            # shared-bandwidth traffic per superstep), a fixed per-task
+            # cost that capped 8→32 scaling once the kernel was tiled.
+            if _layout_balanced:
+                my_idx = peer_idx[pid]
+            elif _offs is not None:
+                my_idx = (np.concatenate(
+                    [np.arange(_offs[b], _offs[b] + _lens[b], dtype=np.int64)
+                     for b in my_blocks]) if my_blocks
+                    else np.empty(0, dtype=np.int64))
+            else:
+                my_idx = (np.concatenate(
+                    [np.arange(b, _n, _nb, dtype=np.int64)
+                     for b in my_blocks]) if my_blocks
+                    else np.empty(0, dtype=np.int64))
+            my_reset = reset_v[my_idx]
+            pslice = np.empty(my_len, dtype=np.float64)
+            tslice = np.empty(my_len, dtype=np.float64)
 
             prev = np.load(_os.path.join(_bdir, "rank_in.npy"))
             walls = []
@@ -1045,13 +1065,35 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                     slice_buf[off:off + L] = block_contrib(
                         arrs[0], arrs[1], rs, scale, L, False)
                     off += L
+                # slice-local blend, float-op-for-float-op identical per
+                # element to the full-vector
+                #   new = d·(contrib + dm·reset) + (1−d)·reset
+                # (elementwise ops, so blending only the owned slice is
+                # bitwise-identical); the L1 term is a per-task partial,
+                # combined in fixed pid order by every task below so all
+                # tasks reach the same convergence decision
+                dm = float(prev[dang_idx].sum())
+                np.take(prev, my_idx, out=pslice)
+                np.multiply(my_reset, dm, out=tslice)
+                np.add(slice_buf, tslice, out=slice_buf)
+                np.multiply(slice_buf, _d, out=slice_buf)
+                np.multiply(my_reset, 1.0 - _d, out=tslice)
+                np.add(slice_buf, tslice, out=slice_buf)   # ≡ new, own slice
+                np.subtract(slice_buf, pslice, out=pslice)
+                np.abs(pslice, out=pslice)
+                dpart = float(pslice.sum())
+                # d-file BEFORE the slice file: peers poll on the slice
+                # file, so its arrival guarantees the d-file is readable
+                _atomic_save(_os.path.join(_bdir, f"d_{g}_{pid}.npy"),
+                             np.array([dpart]))
                 _atomic_save(_os.path.join(_bdir, f"t_{g}_{pid}.npy"), slice_buf)
                 t1 = _t.time()
                 phases["kernel_ms"].append((t1 - t0) * 1000)
 
                 # consume peer slice files as they land — assembly
-                # overlaps the straggler wait
-                contrib.fill(0.0)
+                # overlaps the straggler wait.  Slices are pre-blended and
+                # partition [0, n), so no zero-fill and no post-pass: the
+                # assembled vector IS the next rank vector.
                 pending = set(range(_nt))
                 deadline = _t.time() + 600.0
                 sleep = 1e-4
@@ -1092,27 +1134,23 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                 t2 = _t.time()
                 phases["consume_ms"].append((t2 - t1) * 1000)
 
-                # blend in reused buffers, float-op-for-float-op identical
-                # to the per-job path's
-                #   new = d·(contrib + dm·reset) + (1−d)·reset
-                dm = float(prev[dang_idx].sum())
-                np.multiply(reset_v, dm, out=tmp)
-                np.add(contrib, tmp, out=contrib)
-                np.multiply(contrib, _d, out=contrib)
-                np.multiply(reset_v, 1.0 - _d, out=tmp)
-                np.add(contrib, tmp, out=contrib)        # contrib ≡ new
-                np.subtract(contrib, prev, out=diff)
-                np.abs(diff, out=diff)
-                delta = float(diff.sum())
+                # combine the per-task L1 partials in fixed pid order —
+                # every task computes the identical float sum, so the
+                # convergence decision needs no coordinator
+                delta = 0.0
+                for t_ in range(_nt):
+                    delta += float(np.load(
+                        _os.path.join(_bdir, f"d_{g}_{t_}.npy"))[0])
                 prev, contrib = contrib, prev            # ping-pong
                 stop = delta < _tol
                 step_meta.append({"l1_delta": delta, "dangling_mass": dm})
                 if pid == 0 and g > _it0:
                     # every peer produced step g ⇒ nobody still reads g-1
                     for t_ in range(_nt):
-                        old = _os.path.join(_bdir, f"t_{g - 1}_{t_}.npy")
-                        if _os.path.exists(old):
-                            _os.unlink(old)
+                        for pre in ("t", "d"):
+                            old = _os.path.join(_bdir, f"{pre}_{g - 1}_{t_}.npy")
+                            if _os.path.exists(old):
+                                _os.unlink(old)
                 phases["blend_ms"].append((_t.time() - t2) * 1000)
                 walls.append((_t.time() - t0) * 1000)
                 steps_done += 1
