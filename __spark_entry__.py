@@ -313,6 +313,14 @@ def q_fingerprints(spark, sf_dir):
     return ts.fingerprints(_docs(spark, sf_dir), n=3)
 
 
+def q_pii_scrub(spark, sf_dir):
+    return ts.pii_scrub(_docs(spark, sf_dir))
+
+
+def q_repetition(spark, sf_dir):
+    return ts.repetition_stats(_docs(spark, sf_dir))
+
+
 def _occurrences(token):
     """#occurrences of `token` in text — identical formula in both engines:
     (len(text) - len(replace(text, token, ''))) / len(token)."""
@@ -558,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprints": q_fingerprints,
+        "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
         "eval_recall": q_eval_recall,
         "qa_em": q_qa_em,
         "qa_context": q_qa_context,
@@ -618,6 +628,26 @@ _QARR = (
     "qarr AS (SELECT doc_id, text, list_filter(string_split(trim(regexp_replace(lower(text), "
     "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS arr FROM documents)"
 )
+
+def _pii_oracle() -> str:
+    """Chained-CTE DuckDB mirror of textstats.pii_scrub, generated from the
+    SAME ``PII_PATTERNS`` list the Spark side uses (RE2-compatible patterns,
+    so Java regex and DuckDB RE2 agree; counts measured on the remaining
+    text at each pattern's turn in the fixed masking order)."""
+    ctes = ["p0 AS (SELECT doc_id, text AS t FROM documents)"]
+    for i, (name, pat, repl) in enumerate(ts.PII_PATTERNS):
+        ctes.append(
+            f"p{i + 1} AS (SELECT * EXCLUDE (t), "
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM p{i})"
+        )
+    last = len(ts.PII_PATTERNS)
+    names = ", ".join(f"n_{n}" for n, _, _ in ts.PII_PATTERNS)
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, t AS text_scrubbed, {names} FROM p{last}"
+    )
+
 
 _EN_STOP = "'the','and','of','to','in','is','that','for','with','was'"
 _LANG_WORDS = {
@@ -1313,6 +1343,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM qarr, unnest(range(1, len(arr) - 1)) AS i(i) GROUP BY 1)
             SELECT q.doc_id, sha256(q.text) AS content_sha, g.mg AS min_shingle_hash
             FROM qarr q LEFT JOIN g ON g.doc_id = q.doc_id""",
+        "pii_scrub": _pii_oracle(),
+        "repetition": f"""
+            WITH {_QARR},
+            l AS (SELECT doc_id,
+                         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+                         arr
+                  FROM qarr)
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   CASE WHEN len(lines) > 0
+                        THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN len(arr) > 0
+                        THEN list_max(list_transform(list_distinct(arr),
+                                 x -> len(list_filter(arr, y -> y = x))))::DOUBLE / len(arr)
+                        ELSE 0.0 END AS top_word_frac
+            FROM l""",
         "eval_recall": """
             WITH toks(tok) AS (VALUES ('key'), ('table'), ('row')),
             occ AS (SELECT t.tok AS query_id, d.doc_id::VARCHAR AS doc_id,

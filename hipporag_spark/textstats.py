@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["token_counts", "quality_scores", "language_id", "fingerprints",
-           "dataset_split", "BPE_PATTERN"]
+           "dataset_split", "pii_scrub", "repetition_stats", "BPE_PATTERN"]
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum-non-space
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -133,6 +133,74 @@ def fingerprints(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
         "doc_id",
         F.sha2(F.col(text_col), 256).alias("content_sha"),
         F.array_min(grams).alias("min_shingle_hash"),
+    )
+
+
+# PII-style patterns: RE2-compatible (no lookaround/backrefs) so the
+# identical pattern runs in Spark's Java regex AND the DuckDB oracle.
+# Masking order matters (emails contain dots like IPs; long digit runs
+# overlap phone shapes) and is fixed: email → ipv4 → phone → id-number.
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}\\b", "<PHONE>"),
+    ("idnum", "\\b[0-9]{9,16}\\b", "<ID>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask PII-shaped spans (emails, IPv4s, phone-shaped and long id-shaped
+    digit runs) and count what was masked — the standard scrub pass a
+    training-data pipeline runs before anything else touches raw text.
+
+    Returns ``(doc_id, text_scrubbed, n_email, n_ipv4, n_phone, n_idnum)``;
+    counts are measured per pattern ON THE REMAINING TEXT at its turn in
+    the masking order (an email's digits are never double-counted as an id
+    number).  Pure projection — whole-stage codegen inside the scan, and
+    at 100 TB it stays a map-only pass with no shuffle.
+    """
+    t = F.col(text_col)
+    out_cols = ["doc_id"]
+    counts = []
+    scrubbed = t
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+            .alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select("doc_id", scrubbed.alias("text_scrubbed"), *counts)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition measures (Gopher-style repetition gates):
+    ``(doc_id, n_lines, dup_line_frac, top_word_frac)``.
+
+    ``dup_line_frac`` = 1 − distinct/total over non-empty lines (the
+    boilerplate signal); ``top_word_frac`` = occurrences of the most
+    frequent word / total words (the degenerate-repetition signal).
+    Array expressions only, so the whole thing is one projection; the
+    per-row cost of the top-word scan is O(distinct·words), bounded by
+    document length, never by corpus size.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    toks = _tokens(t)
+    n_lines = F.size(lines)
+    n_words = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda y: y == x)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0,
+               F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines)
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(n_words > 0, top.cast("double") / n_words)
+        .otherwise(F.lit(0.0)).alias("top_word_frac"),
     )
 
 

@@ -58,3 +58,63 @@ def test_fingerprints(spark, docs):
     grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
     expect = min(hashlib.md5(g.encode()).hexdigest() for g in grams)
     assert out.loc[0, "min_shingle_hash"] == expect
+
+
+PII_DOCS = [
+    (10, "mail alice.smith+x@example.co.uk or bob@test.org today"),
+    (11, "server at 10.0.0.1 and 192.168.100.200, call 555-123-4567"),
+    (12, "account 123456789012 ref 999888777, short 12345 stays"),
+    (13, "plain text with no pii at all"),
+    (14, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    return spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+
+
+def test_pii_scrub_counts_and_masking(spark, pii_docs):
+    out = ts.pii_scrub(pii_docs).toPandas().set_index("doc_id")
+    assert out.loc[10, "n_email"] == 2
+    assert "<EMAIL>" in out.loc[10, "text_scrubbed"]
+    assert "alice" not in out.loc[10, "text_scrubbed"]
+    assert out.loc[11, "n_ipv4"] == 2 and out.loc[11, "n_phone"] == 1
+    assert "<IP>" in out.loc[11, "text_scrubbed"]
+    assert "<PHONE>" in out.loc[11, "text_scrubbed"]
+    # 12-digit and 9-digit runs hit idnum; 5-digit run survives
+    assert out.loc[12, "n_idnum"] == 2
+    assert "12345 stays" in out.loc[12, "text_scrubbed"]
+    assert out.loc[13, "text_scrubbed"] == PII_DOCS[3][1]
+    assert (out.loc[13, ["n_email", "n_ipv4", "n_phone", "n_idnum"]] == 0).all()
+
+
+def test_pii_scrub_order_no_double_count(spark):
+    # an email containing digit runs + a dotted domain must count ONLY as
+    # an email — masking order shields ip/phone/id from its remains
+    df = spark.createDataFrame(
+        [(0, "reach user.123456789@host10.0.0.1.example.com please")],
+        "doc_id long, text string")
+    row = ts.pii_scrub(df).toPandas().iloc[0]
+    assert row["n_email"] == 1
+    assert row["n_ipv4"] == 0 and row["n_idnum"] == 0 and row["n_phone"] == 0
+
+
+REP_DOCS = [
+    (20, "same line\nsame line\nsame line\nunique line"),
+    (21, "spam spam spam spam ham"),
+    (22, "all words differ here truly"),
+    (23, ""),
+]
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    out = ts.repetition_stats(df).toPandas().set_index("doc_id")
+    assert out.loc[20, "n_lines"] == 4
+    assert out.loc[20, "dup_line_frac"] == pytest.approx(1 - 2 / 4)
+    assert out.loc[21, "top_word_frac"] == pytest.approx(4 / 5)
+    assert out.loc[22, "dup_line_frac"] == 0.0
+    assert out.loc[22, "top_word_frac"] == pytest.approx(1 / 5)
+    assert out.loc[23, "n_lines"] == 0
+    assert out.loc[23, "dup_line_frac"] == 0.0 and out.loc[23, "top_word_frac"] == 0.0
