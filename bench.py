@@ -278,13 +278,16 @@ def _kernel_proc(pid, nprocs, blocks_dir, steps, barrier, q):
     q.put((pid, walls))
 
 
-def kernel_control(blocks_dir: str, levels=(8, 32), steps: int = 7,
-                   warmup: int = 2) -> dict:
-    """The no-Spark machine-ceiling control (VERDICT r2 next-round item
+CTL_BASIS = ("bare multiprocessing, same kernel/blocks/assignment, "
+             "kernel phase only (no exchange/blend/scheduler)")
+
+
+def ctl_run(P: int, blocks_dir: str, steps: int = 7, warmup: int = 2) -> dict:
+    """ONE level of the no-Spark machine-ceiling control (VERDICT r2 item
     1a: 'record the kernel-only control run in the BENCH JSON itself so
-    the ceiling is data, not narrative').  Runs :func:`_kernel_proc` at
-    each level; per-superstep wall = slowest process per step, median
-    over post-warmup steps."""
+    the ceiling is data, not narrative'): :func:`_kernel_proc` at P bare
+    multiprocessing workers; per-superstep wall = slowest process per
+    step, median over post-warmup steps."""
     import multiprocessing as mp
 
     import json as _json
@@ -293,35 +296,26 @@ def kernel_control(blocks_dir: str, levels=(8, 32), steps: int = 7,
         n_edges = int(_json.load(f)["n_edges"])
     _prewarm(blocks_dir)
     ctx = mp.get_context("spawn")
-    out: dict = {}
-    for P in levels:
-        barrier = ctx.Barrier(P)
-        q = ctx.Queue()
-        procs = [ctx.Process(target=_kernel_proc,
-                             args=(pid, P, blocks_dir, steps, barrier, q))
-                 for pid in range(P)]
-        for p in procs:
-            p.start()
-        walls = {}
-        for _ in range(P):
-            pid, w = q.get()
-            walls[pid] = w
-        for p in procs:
-            p.join()
-        per_step = [max(walls[pid][s] for pid in walls) for s in range(steps)]
-        sec = float(np.median(per_step[warmup:])) / 1000.0
-        out[f"procs{P}"] = {
-            "superstep_sec": round(sec, 4),
-            "edges_per_sec": round(n_edges / sec),
-            "step_ms": [round(x) for x in per_step],
-        }
-    lo, hi = levels[0], levels[-1]
-    out["efficiency"] = round(
-        out[f"procs{hi}"]["edges_per_sec"]
-        / ((hi / lo) * out[f"procs{lo}"]["edges_per_sec"]), 3)
-    out["basis"] = ("bare multiprocessing, same kernel/blocks/assignment, "
-                    "kernel phase only (no exchange/blend/scheduler)")
-    return out
+    barrier = ctx.Barrier(P)
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_kernel_proc,
+                         args=(pid, P, blocks_dir, steps, barrier, q))
+             for pid in range(P)]
+    for p in procs:
+        p.start()
+    walls = {}
+    for _ in range(P):
+        pid, w = q.get()
+        walls[pid] = w
+    for p in procs:
+        p.join()
+    per_step = [max(walls[pid][s] for pid in walls) for s in range(steps)]
+    sec = float(np.median(per_step[warmup:])) / 1000.0
+    return {
+        "superstep_sec": round(sec, 4),
+        "edges_per_sec": round(n_edges / sec),
+        "step_ms": [round(x) for x in per_step],
+    }
 
 
 def dump_plan_artifacts(spark) -> None:
@@ -380,21 +374,45 @@ def dump_plan_artifacts(spark) -> None:
             f.write(p2)
 
 
-def measure_levels(blocks_dir: str, levels=(2, 8, 32), sweeps: int = 2) -> dict:
+SCALING_SWEEPS = int(os.environ.get("SPARK_GRAFT_SCALING_SWEEPS", "3"))
+
+
+def measure_levels(blocks_dir: str, levels=(2, 8, 32),
+                   sweeps: int = SCALING_SWEEPS) -> dict:
     """Interleaved sweeps over the parallelism levels; each level reports
     the MEDIAN of its sweep results plus every per-sweep value (variance
     is visible in the output, nothing is best-cased — ADVICE.md round-1).
-    This sandbox VM sees episodic noisy-neighbor interference (±30% on
-    identical runs minutes apart); interleaving keeps the levels inside
-    the same episodes so the ratio reflects the machine, not the
-    episode."""
+
+    Measurement design for a noisy shared host.  This sandbox VM sees
+    episodic noisy-neighbor interference (±30% on identical runs minutes
+    apart, sometimes 2× — even the bare-multiprocessing control's 8→32
+    efficiency swung 0.58↔0.86 between episodes in round-3 probes).  Two
+    consequences, both standard paired-measurement practice:
+
+    1. Efficiencies are computed PER SWEEP (the two levels of one sweep
+       run back-to-back inside the same episode, so shared interference
+       cancels in their ratio) and reported as the median of paired
+       ratios.  A ratio of across-episode level medians measures the
+       episodes, not the machine; it is still published alongside.
+    2. The no-Spark kernel ceiling (:func:`ctl_run`) is measured INSIDE
+       each sweep, adjacent to the Spark runs it is compared against, so
+       ``spark_eff − ctl_eff`` is a same-episode delta.  A ceiling from
+       a different episode is not a ceiling, as round-2's
+       0.64-measured-vs-0.86-ceiling artifact showed.
+
+    Per-sweep raw values for every run ship in the JSON so a reader can
+    recompute either estimator."""
     runs: dict = {c: [] for c in levels}
+    ctl_levels = tuple(c for c in (8, 32) if c in levels) or levels[-2:]
+    ctls: dict = {c: [] for c in ctl_levels}
     for _ in range(sweeps):
         for c in levels:
             runs[c].append(run_supersteps(c, blocks_dir))
+        for c in ctl_levels:
+            ctls[c].append(ctl_run(c, blocks_dir))
     out: dict = {}
     for c in levels:
-        secs = sorted(r["superstep_sec"] for r in runs[c])
+        secs = [r["superstep_sec"] for r in runs[c]]
         med = float(np.median(secs))
         n_edges = runs[c][0]["edges_processed"]
         out[c] = {
@@ -403,6 +421,46 @@ def measure_levels(blocks_dir: str, levels=(2, 8, 32), sweeps: int = 2) -> dict:
             "supersteps_per_min": round(60.0 / med, 2),
             "sweep_superstep_sec": [round(s, 4) for s in secs],
         }
+    out["paired"] = {}
+    for lo, hi in zip(levels, levels[1:]):
+        ratios = [
+            runs[lo][s]["superstep_sec"]
+            / ((hi / lo) * runs[hi][s]["superstep_sec"])
+            for s in range(sweeps)
+        ]
+        out["paired"][f"{lo}_to_{hi}"] = {
+            "per_sweep": [round(r, 3) for r in ratios],
+            "median": round(float(np.median(ratios)), 3),
+        }
+    lo, hi = ctl_levels[0], ctl_levels[-1]
+    ctl_ratios = [
+        ctls[lo][s]["superstep_sec"] / ((hi / lo) * ctls[hi][s]["superstep_sec"])
+        for s in range(sweeps)
+    ]
+    spark_ratios = [
+        runs[lo][s]["superstep_sec"] / ((hi / lo) * runs[hi][s]["superstep_sec"])
+        for s in range(sweeps)
+    ]
+    deltas = [s - c for s, c in zip(spark_ratios, ctl_ratios)]
+    out["ctl"] = {
+        f"procs{c}": {
+            "superstep_sec": round(float(np.median(
+                [r["superstep_sec"] for r in ctls[c]])), 4),
+            "sweep_superstep_sec": [round(r["superstep_sec"], 4) for r in ctls[c]],
+            "sweep_step_ms": [r["step_ms"] for r in ctls[c]],
+        }
+        for c in ctl_levels
+    }
+    out["ctl"]["pair"] = f"{lo}_to_{hi}"
+    out["ctl"]["efficiency_per_sweep"] = [round(r, 3) for r in ctl_ratios]
+    out["ctl"]["efficiency"] = round(float(np.median(ctl_ratios)), 3)
+    out["ctl"]["basis"] = CTL_BASIS
+    out["vs_ceiling"] = {
+        "delta_per_sweep": [round(d, 3) for d in deltas],
+        "delta_median": round(float(np.median(deltas)), 3),
+        "basis": "same-sweep (same-episode) spark_eff - ctl_eff, "
+                 f"pair {lo}->{hi}",
+    }
     return out
 
 
@@ -437,21 +495,34 @@ def main():
         r2, r8, r32 = best[2], best[8], best[32]
         eff_2_8 = r8["edges_per_sec"] / (4.0 * r2["edges_per_sec"])
         eff_8_32 = r32["edges_per_sec"] / (4.0 * r8["edges_per_sec"])
+        paired_8_32 = best["paired"]["8_to_32"]["median"]
+        paired_2_8 = best["paired"]["2_to_8"]["median"]
         # Machine-ceiling control (VERDICT r2 item 1a): the identical
         # kernel under bare multiprocessing — no Spark scheduler, no
-        # exchange, no blend — at the same 8/32 process counts.  Its
-        # 8→32 efficiency is the hardware ceiling of this single
+        # exchange, no blend — at the same 8/32 process counts, measured
+        # INSIDE each sweep so spark-vs-ceiling is a same-episode delta.
+        # Its 8→32 efficiency is the hardware ceiling of this single
         # shared-L3 VM for this kernel; the Spark path is graded
         # against it (a real 4×-machines scale-up adds L3/memory
         # bandwidth with the cores, this box does not).
-        ctl = kernel_control(blocks_dir, levels=(8, 32))
+        ctl = best["ctl"]
+        delta = best["vs_ceiling"]
         out["ppr_scaling"] = {
             "edges": BENCH_EDGES, "nodes": BENCH_NODES, "blocks": N_BLOCKS,
             "local2": r2, "local8": r8, "local32": r32,
-            "efficiency_N_to_4N": round(eff_8_32, 3),
+            # headline = median of PER-SWEEP paired ratios (each sweep
+            # runs both levels back-to-back in the same noisy-neighbor
+            # episode, so the shared interference cancels); the
+            # ratio-of-level-medians estimator is published alongside —
+            # across-episode medians mix episodes into the ratio
+            "efficiency_N_to_4N": paired_8_32,
             "efficiency_N_to_4N_pair": "local8_to_local32",
-            "efficiency_2_to_8": round(eff_2_8, 3),
-            "efficiency_8_to_32": round(eff_8_32, 3),
+            "efficiency_basis": "median_of_paired_sweep_ratios",
+            "efficiency_2_to_8": round(paired_2_8, 3),
+            "efficiency_8_to_32": paired_8_32,
+            "efficiency_2_to_8_level_medians": round(eff_2_8, 3),
+            "efficiency_8_to_32_level_medians": round(eff_8_32, 3),
+            "paired_sweep_ratios": best["paired"],
             # medians across interleaved sweeps (per-sweep values inside
             # each level); superstep walls are in-job time — scheduler
             # job-launch latency is excluded, as it amortizes over the
@@ -459,11 +530,12 @@ def main():
             "wall_basis": "in_job_per_superstep_median",
             "kernel_ceiling": ctl,
             # gate basis: BASELINE ≥0.8, or Spark-path efficiency within
-            # 0.05 of the recorded no-Spark hardware ceiling on this VM
-            "spark_efficiency_vs_ceiling": round(
-                eff_8_32 - ctl["efficiency"], 3),
-            "gate_pass": bool(eff_8_32 >= 0.8
-                              or eff_8_32 >= ctl["efficiency"] - 0.05),
+            # 0.05 of the no-Spark hardware ceiling measured in the SAME
+            # sweeps (median of same-episode per-sweep deltas)
+            "spark_efficiency_vs_ceiling": delta["delta_median"],
+            "spark_efficiency_vs_ceiling_detail": delta,
+            "gate_pass": bool(paired_8_32 >= 0.8
+                              or delta["delta_median"] >= -0.05),
         }
     print(json.dumps(out))
 

@@ -51,6 +51,16 @@ class RetrievalConfig:
     # "dataframe"); gates pin "dataframe" so the oracle exercises the
     # distributed kernel, not the small-graph driver fallback
     ppr_mode: str = "auto"
+    # Scale escape hatch (VERDICT r2 "what's wrong" #4): the reference's
+    # DPR scores EVERY passage per query (HippoRAG.py:1321-1356), i.e.
+    # |Q|×|P| rows.  When set, only the top-m passages per query receive
+    # a reset weight — a DOCUMENTED DIVERGENCE: dropped passages carry
+    # min-max-normalized scores near 0 scaled by passage_node_weight
+    # (0.05), so their reset mass is negligible.  Normalization stays
+    # EXACT: cosine_topk_with_stats computes the per-query global
+    # (min, max) from per-cell stat rows regardless of k, so the full
+    # q×|P| score matrix is never materialized.  None = reference-exact.
+    dpr_reset_top_m: Optional[int] = None
     # pluggable fact rerank stage (reference rerank_facts,
     # HippoRAG.py:1523-1571 / rerank.py:105-131 — an LLM filter there):
     # receives the per-query normalized fact candidates
@@ -168,13 +178,21 @@ class GraphRetriever:
     def dpr_scores(self, queries_emb: DataFrame) -> DataFrame:
         """(query_id, chunk_id, score_norm) — min-max-normalized dense
         passage scores over ALL passages (dense_passage_retrieval,
-        HippoRAG.py:1321-1356)."""
-        n_passages = self.passages.count()
+        HippoRAG.py:1321-1356), or the top ``dpr_reset_top_m`` per query
+        when that scale hatch is set (normalization stays exact either
+        way — see :class:`RetrievalConfig`)."""
+        m = self.cfg.dpr_reset_top_m
+        if m is None:
+            k = self.passages.count()
+        else:
+            # never truncate below the pure-DPR fallback depth, which
+            # must still return retrieval_top_k rows per factless query
+            k = max(m, self.cfg.retrieval_top_k)
         allk, stats = cosine_topk_with_stats(
             self.spark,
             queries_emb.select(F.col("query_id").alias("id"), "embedding"),
             self.passages.select(F.col("chunk_id").alias("id"), "embedding"),
-            k=n_passages,
+            k=k,
         )
         return minmax_normalize(allk, stats).select(
             "query_id", F.col("key_id").alias("chunk_id"), "score_norm", "rank"

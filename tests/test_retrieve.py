@@ -128,3 +128,53 @@ def test_retrieval_is_deterministic(spark, built):
     a = sorted((x["query_id"], x["rank"], x["doc_id"]) for x in r.retrieve(qdf).collect())
     b = sorted((x["query_id"], x["rank"], x["doc_id"]) for x in r.retrieve(qdf).collect())
     assert a == b
+
+
+def test_dpr_reset_top_m_covering_is_exact(spark, built):
+    """With dpr_reset_top_m >= |passages| the scale hatch must be a no-op:
+    identical (doc, rank) AND identical scores to the reference-exact path."""
+    r, _, _ = built
+    import dataclasses
+
+    n_passages = r.passages.count()
+    cfg2 = dataclasses.replace(CFG, dpr_reset_top_m=int(n_passages))
+    qdf = spark.createDataFrame(QUERIES, "query_id string, question string")
+    base = {(x["query_id"], x["rank"]): (x["doc_id"], x["score"])
+            for x in r.retrieve(qdf).collect()}
+    old = r.cfg
+    try:
+        r.cfg = cfg2
+        hatched = {(x["query_id"], x["rank"]): (x["doc_id"], x["score"])
+                   for x in r.retrieve(qdf).collect()}
+    finally:
+        r.cfg = old
+    assert base.keys() == hatched.keys()
+    for key, (doc, score) in base.items():
+        hdoc, hscore = hatched[key]
+        assert doc == hdoc
+        assert abs(score - hscore) < 1e-12
+
+
+def test_dpr_reset_top_m_truncated_still_ranks(spark, built):
+    """Small top_m: per-query row counts and the top-1 doc (strong graph
+    signal) survive truncating the passage-side reset tail."""
+    r, _, _ = built
+    import dataclasses
+
+    qdf = spark.createDataFrame(QUERIES, "query_id string, question string")
+    base = r.retrieve(qdf).collect()
+    old = r.cfg
+    try:
+        r.cfg = dataclasses.replace(CFG, dpr_reset_top_m=2)
+        out = r.retrieve(qdf).collect()
+    finally:
+        r.cfg = old
+    def tops(rows):
+        t = {}
+        for x in rows:
+            if x["rank"] == 1:
+                t[x["query_id"]] = x["doc_id"]
+        return t
+    assert tops(out) == tops(base)
+    from collections import Counter
+    assert Counter(x["query_id"] for x in out) == Counter(x["query_id"] for x in base)
