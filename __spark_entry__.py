@@ -32,6 +32,7 @@ from hipporag_spark.corpus import corpus_from_documents
 from hipporag_spark.extract import make_chunks, chunk_tokens, extract_all
 from hipporag_spark import dedup as dd
 from hipporag_spark import textstats as ts
+from hipporag_spark import curation as cur
 from hipporag_spark import similarity as sim
 from hipporag_spark.graph import build_graph
 from hipporag_spark.knn import cosine_topk
@@ -317,6 +318,23 @@ def q_pii_scrub(spark, sf_dir):
     return ts.pii_scrub(_docs(spark, sf_dir))
 
 
+# the benchmark/eval set for the decontamination gate: a deterministic
+# 5% slice of the corpus itself (every 20th doc) — guarantees overlap
+# exists so both join legs of the operator are exercised
+def q_decontam(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return cur.decontaminate(docs, bench, n=5)
+
+
+STRAT_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.9, "src4": 0.1}
+
+
+def q_strat_sample(spark, sf_dir):
+    out = cur.stratified_sample(_docs(spark, sf_dir), STRAT_RATES, "source")
+    return out.select("doc_id", "source")
+
+
 def q_repetition(spark, sf_dir):
     return ts.repetition_stats(_docs(spark, sf_dir))
 
@@ -568,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
+        "decontam": q_decontam,
+        "strat_sample": q_strat_sample,
         "eval_recall": q_eval_recall,
         "qa_em": q_qa_em,
         "qa_context": q_qa_context,
@@ -1344,6 +1364,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.doc_id, sha256(q.text) AS content_sha, g.mg AS min_shingle_hash
             FROM qarr q LEFT JOIN g ON g.doc_id = q.doc_id""",
         "pii_scrub": _pii_oracle(),
+        "decontam": f"""
+            WITH {_DARR}, {_shingle_cte(5)},
+            bg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+            sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY 1),
+            hits AS (SELECT sh.doc_id, count(*) AS n_hits
+                     FROM sh JOIN bg USING (shingle) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.n_grams, 0) AS n_grams,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   CASE WHEN coalesce(s.n_grams, 0) > 0
+                        THEN coalesce(h.n_hits, 0)::DOUBLE / s.n_grams
+                        ELSE 0.0 END AS contam_frac,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN sizes s USING (doc_id) LEFT JOIN hits h USING (doc_id)""",
+        "strat_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+                FROM documents)
+            WHERE u < CASE source WHEN 'src0' THEN 0.8 WHEN 'src1' THEN 0.5
+                                  WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.9
+                                  WHEN 'src4' THEN 0.1 ELSE 0.0 END""",
         "repetition": f"""
             WITH {_QARR},
             l AS (SELECT doc_id,

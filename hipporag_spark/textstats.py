@@ -13,6 +13,11 @@ document scan (no shuffle at all except the optional aggregations):
 - :func:`fingerprints`     content sha256 + shingle min-hash fingerprint
                            (1-perm MinHash ≙ deterministic rolling-hash
                            document sketch)
+- :func:`pii_scrub`        ordered PII masking (email/IPv4/phone/id) with
+                           per-pattern counts, RE2-compatible patterns
+- :func:`repetition_stats` Gopher-style dup-line / top-word repetition
+                           fractions
+- :func:`dataset_split`    leakage-safe train/val/test by id hash
 
 The reference computes corpus character/word statistics at
 ``/root/reference/src/hipporag/HippoRAG.py:977-988``; the rest follows
