@@ -130,15 +130,32 @@ def _centroid_df(spark: SparkSession, cent: np.ndarray) -> DataFrame:
 
 
 def _assign(vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Nearest-centroid assignment via broadcast join + per-id argmax."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        "embedding",
-        "centroid_id",
-        cosine_expr(F.col("embedding"), F.col("centroid")).alias("csim"),
+    """Nearest-centroid assignment as ONE map-side projection.
+
+    The centroid table is bounded by design (≤ hundreds), so the argmax
+    is ``array_max`` over per-centroid ``struct(csim, -centroid_id)``
+    entries compiled into the plan as literals: no 16× row explosion and
+    no per-id argmax sort-shuffle (the former crossJoin + window shape
+    shuffled |vecs|×|centroids| rows every Lloyd iteration).  Bit-
+    identical to that shape — the per-pair cosine is the same
+    ``cosine_expr`` float64 sequence, and struct comparison reproduces
+    the (csim desc, centroid_id asc) tie-break via the negated id."""
+    rows = sorted(centroids.select("centroid_id", "centroid").collect(),
+                  key=lambda r: r["centroid_id"])
+    best = F.array_max(F.array(*[
+        F.struct(
+            cosine_expr(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+            ).alias("csim"),
+            F.lit(-int(r["centroid_id"])).alias("nid"),
+        )
+        for r in rows
+    ]))
+    return vecs.select(
+        id_col, "embedding",
+        (-best["nid"]).cast("int").alias("centroid_id"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
-    return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn", "csim")
 
 
 def ivf_topk(
