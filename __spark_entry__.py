@@ -33,6 +33,7 @@ from hipporag_spark.extract import make_chunks, chunk_tokens, extract_all
 from hipporag_spark import dedup as dd
 from hipporag_spark import textstats as ts
 from hipporag_spark import curation as cur
+from hipporag_spark import events as ev
 from hipporag_spark import similarity as sim
 from hipporag_spark.graph import build_graph
 from hipporag_spark.knn import cosine_topk
@@ -327,6 +328,16 @@ def q_decontam(spark, sf_dir):
     return cur.decontaminate(docs, bench, n=5)
 
 
+def q_event_windows(spark, sf_dir):
+    return ev.windowed_stats(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), window="10 minutes")
+
+
+def q_sessions(spark, sf_dir):
+    return ev.sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30)
+
+
 STRAT_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.9, "src4": 0.1}
 
 
@@ -588,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "decontam": q_decontam,
         "strat_sample": q_strat_sample,
+        "event_windows": q_event_windows,
+        "sessions": q_sessions,
         "eval_recall": q_eval_recall,
         "qa_em": q_qa_em,
         "qa_context": q_qa_context,
@@ -1379,6 +1392,27 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM documents d
             LEFT JOIN sizes s USING (doc_id) LEFT JOIN hits h USING (doc_id)""",
+        "event_windows": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+                   event_type, count(*) AS n_events,
+                   sum(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+                   sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS avg_value
+            FROM events GROUP BY 1, 2""",
+        "sessions": """
+            WITH l AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id) AS pus
+                       FROM events),
+            s AS (SELECT *, sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                  FROM l)
+            SELECT user_id, session_seq::BIGINT AS session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   sum(value::DECIMAL(18,2))::DOUBLE AS total_value
+            FROM s GROUP BY 1, 2""",
         "strat_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

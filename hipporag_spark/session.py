@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("HIPPORAG_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # event-time ops (events.py) convert TIMESTAMP_NTZ columns via the
+        # session zone; pin UTC so wall-clock arithmetic is host-independent
+        .config("spark.sql.session.timeZone", "UTC")
     )
     active = SparkSession.getActiveSession()
     if active is None:

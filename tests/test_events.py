@@ -1,0 +1,120 @@
+"""Event analytics: batch hand-checks + stream ≡ batch equivalence for
+the windowed aggregation and the applyInPandasWithState sessionizer."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hipporag_spark import events as ev
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+
+def _min(m):
+    return dt.timedelta(minutes=m)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    rows = [
+        # user 1, session A: two events 10 min apart
+        (0, T0, 1, "view", 1.25),
+        (1, T0 + _min(10), 1, "click", 2.50),
+        # user 1, session B: 2h later (gap 110 min > 30)
+        (2, T0 + _min(120), 1, "view", 4.00),
+        (3, T0 + _min(125), 1, "purchase", 10.75),
+        # user 2, session C: single event
+        (4, T0 + _min(1), 2, "view", 0.10),
+    ]
+    return _mk(spark, rows)
+
+
+def test_sessionize_batch(spark, batch_events):
+    out = ev.sessionize(batch_events, gap_minutes=30).toPandas()
+    out = out.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    assert len(out) == 3
+    a, b, c = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert (a["user_id"], a["n_events"], a["total_value"]) == (1, 2, 3.75)
+    assert a["session_start"] == T0 and a["session_end"] == T0 + _min(10)
+    assert (b["n_events"], b["total_value"]) == (2, 14.75)
+    assert (c["user_id"], c["n_events"]) == (2, 1)
+
+
+def test_windowed_stats_batch(spark, batch_events):
+    out = ev.windowed_stats(batch_events, window="10 minutes").toPandas()
+    w0 = out[(out["window_start"] == T0) & (out["event_type"] == "view")]
+    # events 0 (T0, user1) and 4 (T0+1min, user2) share the first window
+    assert len(w0) == 1 and w0.iloc[0]["n_events"] == 2
+    assert w0.iloc[0]["sum_value"] == pytest.approx(1.35)
+
+
+def _run_stream(spark, src_dir, ckpt, make_query, name):
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        make_query(stream)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    return spark.table(name)
+
+
+def test_windowed_stream_matches_batch(spark, batch_events, tmp_path):
+    src = str(tmp_path / "src")
+    batch_events.coalesce(1).write.mode("overwrite").parquet(src)
+    got = _run_stream(
+        spark, src, str(tmp_path / "ck1"),
+        lambda s: (ev.windowed_stats(s, window="10 minutes", watermark="1 hour")
+                   .writeStream.format("memory").outputMode("complete")),
+        "win_stream",
+    ).toPandas()
+    want = ev.windowed_stats(batch_events, window="10 minutes").toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key + ["n_events", "sum_value", "avg_value"]].equals(
+        want[key + ["n_events", "sum_value", "avg_value"]])
+
+
+def test_sessionize_stream_matches_batch(spark, batch_events, tmp_path):
+    # file 1: the real sessions; file 2: far-future sentinel events that
+    # close every open session deterministically (the sentinels' own
+    # sessions stay open and are excluded from the comparison)
+    sentinels = _mk(spark, [
+        (100, T0 + dt.timedelta(days=10), 1, "view", 0.01),
+        (101, T0 + dt.timedelta(days=10), 2, "view", 0.01),
+    ])
+    src = str(tmp_path / "src2")
+    batch_events.coalesce(1).write.mode("overwrite").parquet(src)
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+
+    got = _run_stream(
+        spark, src, str(tmp_path / "ck2"),
+        lambda s: (ev.sessionize_stream(s, gap_minutes=30, watermark="1 hour")
+                   .writeStream.format("memory").outputMode("append")),
+        "sess_stream",
+    ).toPandas()
+
+    want = (
+        ev.sessionize(batch_events.unionByName(sentinels), gap_minutes=30)
+        .where(F.col("session_start") < F.lit(T0 + dt.timedelta(days=1)))
+        .toPandas()
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
