@@ -138,3 +138,30 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
     )
+
+
+def corpus_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """Load a corpus in the reference's own JSON shape — an array of
+    ``{"title": ..., "text": ...}`` objects, each document rendered as
+    ``"title\\ntext"`` (reference ``main.py:92-96``) — into the engine's
+    corpus table ``(repo, path, commit, lang, content)``.
+
+    Lets a reference user point their existing ``*_corpus.json`` files at
+    this engine unchanged.  Provenance columns are synthesized
+    deterministically: ``repo`` = source file name, ``path`` = title,
+    ``commit`` = sha of the rendered content (so the engine's
+    content-hash invariants hold row-for-row), ``lang`` = ``"text"``.
+
+    ``multiLine`` is set because the reference files are one JSON array
+    per file; at scale prefer JSONL (one object per line), which Spark
+    splits across executors — this reader accepts both.
+    """
+    df = spark.read.option("multiLine", "true").json(path)
+    content = F.concat_ws("\n", F.col("title"), F.col("text"))
+    return df.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("repo"),
+        F.col("title").alias("path"),
+        F.substring(F.sha2(content, 256), 1, 40).alias("commit"),
+        F.lit("text").alias("lang"),
+        content.alias("content"),
+    )

@@ -88,3 +88,31 @@ def test_make_facts_caps_pathological_chunks(spark):
     dflt = make_facts(tokens)
     n_dflt = dflt.where(F.col("chunk_id") != list(per_chunk)[0]).count()
     assert n_dflt <= 2048 * 2047 // 2 + 3
+
+
+def test_corpus_from_json_reference_shape(spark, tmp_path):
+    """The reference's corpus JSON (array of {title, text}; main.py:92-96)
+    loads into the engine corpus shape with content 'title\\ntext' and a
+    content-derived commit."""
+    import hashlib
+    import json
+
+    from hipporag_spark.corpus import corpus_from_json
+    from hipporag_spark.extract import extract_all
+
+    corpus = [
+        {"title": "Doc One", "text": "the table scan runs fast"},
+        {"title": "Doc Two", "text": "a join needs a shuffle key"},
+    ]
+    p = tmp_path / "sample_corpus.json"
+    p.write_text(json.dumps(corpus))
+    out = corpus_from_json(spark, str(p)).toPandas().sort_values("path")
+    assert list(out["path"]) == ["Doc One", "Doc Two"]
+    want = "Doc One\nthe table scan runs fast"
+    row = out[out["path"] == "Doc One"].iloc[0]
+    assert row["content"] == want
+    assert row["commit"] == hashlib.sha256(want.encode()).hexdigest()[:40]
+    assert row["repo"] == "sample_corpus.json" and row["lang"] == "text"
+    # the loaded corpus flows through the extraction stage unchanged
+    t = extract_all(corpus_from_json(spark, str(p)))
+    assert t["chunks"].count() == 2
