@@ -405,6 +405,13 @@ def measure_levels(blocks_dir: str, levels=(2, 8, 32),
     runs: dict = {c: [] for c in levels}
     ctl_levels = tuple(c for c in (8, 32) if c in levels) or levels[-2:]
     ctls: dict = {c: [] for c in ctl_levels}
+    # one discarded burn-in sweep: the first Spark session per level pays
+    # JVM JIT + 32-process python-worker spawn + first-touch of the block
+    # files across every worker's address space; r3 probes showed the
+    # first sweep 2-5× slower than steady state even past the in-job
+    # warmup supersteps, which poisons its paired ratio
+    for c in levels:
+        run_supersteps(c, blocks_dir)
     for _ in range(sweeps):
         for c in levels:
             runs[c].append(run_supersteps(c, blocks_dir))
@@ -451,6 +458,7 @@ def measure_levels(blocks_dir: str, levels=(2, 8, 32),
         }
         for c in ctl_levels
     }
+    out["burn_in"] = "1 discarded sweep per level before the recorded sweeps"
     out["ctl"]["pair"] = f"{lo}_to_{hi}"
     out["ctl"]["efficiency_per_sweep"] = [round(r, 3) for r in ctl_ratios]
     out["ctl"]["efficiency"] = round(float(np.median(ctl_ratios)), 3)

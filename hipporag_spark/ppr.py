@@ -1015,7 +1015,14 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                     for t in range(_nt)
                 }
             my_len = sum(_lens[b] for b in my_blocks)
-            slice_buf = np.empty(my_len, dtype=np.float64)
+            # send_buf = [owned slice | L1 partial]: the per-task L1
+            # convergence partial travels as ONE trailing element of the
+            # slice file instead of a separate d_*.npy per (task, step) —
+            # at 32-way the 32×32 tiny-file creates+opens+unlinks per
+            # superstep were 5-15% of the superstep wall (blend_ms 25-65ms
+            # vs 2ms at 8-way), a pure parallelism tax on the 8→32 pair
+            send_buf = np.empty(my_len + 1, dtype=np.float64)
+            slice_buf = send_buf[:my_len]
             # reused per-step buffers: fresh 8·n-byte allocations every
             # superstep would pay first-touch page faults + memset churn
             contrib = np.empty(_n, dtype=np.float64)
@@ -1081,12 +1088,8 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                 np.add(slice_buf, tslice, out=slice_buf)   # ≡ new, own slice
                 np.subtract(slice_buf, pslice, out=pslice)
                 np.abs(pslice, out=pslice)
-                dpart = float(pslice.sum())
-                # d-file BEFORE the slice file: peers poll on the slice
-                # file, so its arrival guarantees the d-file is readable
-                _atomic_save(_os.path.join(_bdir, f"d_{g}_{pid}.npy"),
-                             np.array([dpart]))
-                _atomic_save(_os.path.join(_bdir, f"t_{g}_{pid}.npy"), slice_buf)
+                send_buf[my_len] = pslice.sum()   # L1 partial, piggybacked
+                _atomic_save(_os.path.join(_bdir, f"t_{g}_{pid}.npy"), send_buf)
                 t1 = _t.time()
                 phases["kernel_ms"].append((t1 - t0) * 1000)
 
@@ -1095,6 +1098,7 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                 # partition [0, n), so no zero-fill and no post-pass: the
                 # assembled vector IS the next rank vector.
                 pending = set(range(_nt))
+                dparts = np.zeros(_nt, dtype=np.float64)
                 deadline = _t.time() + 600.0
                 sleep = 1e-4
                 while pending:
@@ -1105,6 +1109,8 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                             # mmap: sequential one-shot read straight from
                             # the page cache, no 8-byte-per-node heap copy
                             arr = np.load(p, mmap_mode="r")
+                            dparts[t_] = arr[-1]
+                            arr = arr[:-1]
                             if _layout_balanced:
                                 contrib[peer_idx[t_]] = arr
                             elif _offs is not None:
@@ -1139,18 +1145,16 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                 # convergence decision needs no coordinator
                 delta = 0.0
                 for t_ in range(_nt):
-                    delta += float(np.load(
-                        _os.path.join(_bdir, f"d_{g}_{t_}.npy"))[0])
+                    delta += float(dparts[t_])
                 prev, contrib = contrib, prev            # ping-pong
                 stop = delta < _tol
                 step_meta.append({"l1_delta": delta, "dangling_mass": dm})
                 if pid == 0 and g > _it0:
                     # every peer produced step g ⇒ nobody still reads g-1
                     for t_ in range(_nt):
-                        for pre in ("t", "d"):
-                            old = _os.path.join(_bdir, f"{pre}_{g - 1}_{t_}.npy")
-                            if _os.path.exists(old):
-                                _os.unlink(old)
+                        old = _os.path.join(_bdir, f"t_{g - 1}_{t_}.npy")
+                        if _os.path.exists(old):
+                            _os.unlink(old)
                 phases["blend_ms"].append((_t.time() - t2) * 1000)
                 walls.append((_t.time() - t0) * 1000)
                 steps_done += 1
