@@ -39,6 +39,7 @@ from hipporag_spark.graph import build_graph
 from hipporag_spark.knn import cosine_topk
 from hipporag_spark.ppr import personalized_pagerank
 from hipporag_spark.components import connected_components
+from hipporag_spark.kcore import bfs_distances, core_decomposition
 from hipporag_spark.lpa import label_propagation
 from hipporag_spark.multimodal import attach_media, decode_features
 from hipporag_spark.evaluation import (
@@ -489,6 +490,23 @@ def q_components(spark, sf_dir):
         "node_id", "component")
 
 
+def q_kcore(spark, sf_dir):
+    """Coreness of every phrase-graph node via the distributed h-index
+    fixpoint (mode='dataframe' pins the join+window superstep loop, not
+    the local peel); oracle = the same synchronous iteration as a
+    recursive CTE (30 rounds — converged supersteps are no-ops)."""
+    edges = _phrase_edges(_tokens(spark, sf_dir))
+    return core_decomposition(spark, edges, mode="dataframe").coreness
+
+
+def q_bfs_dist(spark, sf_dir):
+    """Min hop distance from the SEED_PHRASES ball, max 4 hops —
+    multi-source frontier BFS; oracle = recursive-CTE reachability with
+    min(dist) aggregation."""
+    edges = _phrase_edges(_tokens(spark, sf_dir))
+    return bfs_distances(spark, edges, SEED_PHRASES, max_hops=4)
+
+
 def q_lpa(spark, sf_dir):
     counts = _pair_counts(_tokens(spark, sf_dir))
     edges = counts.select(
@@ -607,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_scores": q_ppr_scores,
         "pagerank_scores": q_pagerank,
         "components": q_components,
+        "kcore": q_kcore,
+        "bfs_dist": q_bfs_dist,
         "lpa": q_lpa,
         "retrieve": q_retrieve,
         "ivf_ann": q_ivf_ann,
@@ -1164,6 +1184,45 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node_id)
             SELECT node_id, min(lbl) AS component FROM reach GROUP BY node_id""",
+        "kcore": f"""
+            WITH RECURSIVE {_TOKS_MAT}, {_PAIRS_MAT},
+            und AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT subject AS src, object AS dst FROM counts
+                    UNION ALL SELECT object, subject FROM counts
+                    UNION ALL SELECT chunk_id, token FROM toks
+                    UNION ALL SELECT token, chunk_id FROM toks)
+                WHERE src <> dst),
+            pr(it, node_id, c) AS (
+                SELECT 0, src, count(*)::BIGINT FROM und GROUP BY 2
+                UNION ALL
+                (WITH cur AS (SELECT * FROM pr WHERE it < 30),
+                 j AS (SELECT und.src AS node_id, cur.c, cur.it
+                       FROM und JOIN cur ON cur.node_id = und.dst),
+                 r AS (SELECT node_id, it,
+                              least(c, row_number() OVER (
+                                  PARTITION BY node_id ORDER BY c DESC)) AS hc
+                       FROM j),
+                 h AS (SELECT node_id, max(it) AS it, max(hc)::BIGINT AS c
+                       FROM r GROUP BY 1)
+                 SELECT it + 1, node_id, c FROM h))
+            SELECT node_id, c AS coreness FROM pr WHERE it = 30""",
+        "bfs_dist": f"""
+            WITH RECURSIVE {_TOKS_MAT}, {_PAIRS_MAT},
+            und AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT subject AS src, object AS dst FROM counts
+                    UNION ALL SELECT object, subject FROM counts
+                    UNION ALL SELECT chunk_id, token FROM toks
+                    UNION ALL SELECT token, chunk_id FROM toks)
+                WHERE src <> dst),
+            reach(node_id, d) AS (
+                SELECT src, 0 FROM (SELECT DISTINCT src FROM und)
+                WHERE src IN ({", ".join(f"'{s}'" for s in SEED_PHRASES)})
+                UNION
+                SELECT und.dst, r.d + 1 FROM reach r
+                JOIN und ON und.src = r.node_id WHERE r.d < 4)
+            SELECT node_id, min(d)::BIGINT AS dist FROM reach GROUP BY 1""",
         "clustering_coeff": f"""
             WITH {_TOKS}, {_PAIRS},
             und AS (SELECT subject AS src, object AS dst FROM counts

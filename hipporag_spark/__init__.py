@@ -44,6 +44,7 @@ from .ppr import (  # noqa: E402
     prepare_csr_blocks,
 )
 from .components import connected_components  # noqa: E402
+from .kcore import bfs_distances, core_decomposition  # noqa: E402
 from .lpa import label_propagation  # noqa: E402
 from .triangles import triangle_count, triangle_list  # noqa: E402
 from .retrieve import GraphRetriever, RetrievalConfig  # noqa: E402
@@ -57,7 +58,8 @@ __all__ = [
     "build_graph", "symmetrize",
     "pagerank", "personalized_pagerank", "personalized_pagerank_batch",
     "ppr_from_blocks", "ppr_from_blocks_batched", "prepare_csr_blocks",
-    "connected_components", "label_propagation",
+    "connected_components", "core_decomposition", "bfs_distances",
+    "label_propagation",
     "triangle_count", "triangle_list",
     "GraphRetriever", "RetrievalConfig", "HippoIndex", "CheckpointStore",
     "corpus_stream", "stream_index",

@@ -152,3 +152,50 @@ def lpa_exact(edge_rows, max_iter=100):
             break
         labels = new
     return labels
+
+
+def coreness_exact(edge_rows):
+    """Coreness via the classical sequential Batagelj–Zaveršnik peel
+    (min-degree removal) over the simple undirected graph — an
+    independent algorithm from both engine paths (distributed h-index
+    fixpoint; driver-local peel in hipporag_spark.kcore)."""
+    adj: dict = {}
+    for u, v, *_ in edge_rows:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core = {u: len(ns) for u, ns in adj.items()}
+    alive = set(adj)
+    while alive:
+        u = min(alive, key=lambda x: (core[x], str(x)))
+        alive.discard(u)
+        for v in adj[u]:
+            if v in alive and core[v] > core[u]:
+                core[v] -= 1
+    return core
+
+
+def bfs_exact(edge_rows, seeds, max_hops):
+    """Multi-source BFS hop distances over the simple undirected graph,
+    bounded by max_hops; unreached nodes are absent."""
+    adj: dict = {}
+    for u, v, *_ in edge_rows:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds if s in adj}
+    frontier = set(dist)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = hop
+        if not nxt:
+            break
+        frontier = nxt
+    return dist

@@ -151,3 +151,53 @@ def test_cc_star_nonconverged_emits_one_label_per_node(spark):
     out = res.components.collect()
     assert len(out) == n
     assert len({r["node_id"] for r in out}) == n
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition + BFS distances (hipporag_spark.kcore)
+# ---------------------------------------------------------------------------
+
+from hipporag_spark.kcore import bfs_distances, core_decomposition  # noqa: E402
+from tests.reference_impl import bfs_exact, coreness_exact  # noqa: E402
+
+
+@pytest.mark.parametrize("name,rows", GRAPHS, ids=_IDS)
+@pytest.mark.parametrize("mode", ["local", "dataframe"])
+def test_core_decomposition(spark, name, rows, mode):
+    res = core_decomposition(spark, _edges_df(spark, rows), mode=mode)
+    assert res.converged
+    got = {r["node_id"]: r["coreness"] for r in res.coreness.collect()}
+    assert got == coreness_exact(rows)
+
+
+def test_core_decomposition_known_values(spark):
+    # 4-clique (core 3) bridged to a path (core 1)
+    clique = [(a, b, 1.0) for a in "abcd" for b in "abcd" if a < b]
+    rows = clique + [("d", "e", 1.0), ("e", "f", 1.0)]
+    res = core_decomposition(spark, _edges_df(spark, rows), mode="dataframe")
+    got = {r["node_id"]: r["coreness"] for r in res.coreness.collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1}
+    # monotone-decreasing estimates converge: last superstep changed nothing
+    assert res.metrics[-1]["estimates_changed"] == 0
+
+
+@pytest.mark.parametrize("name,rows", GRAPHS, ids=_IDS)
+def test_bfs_distances(spark, name, rows):
+    seeds = [rows[0][0]]
+    got = {
+        r["node_id"]: r["dist"]
+        for r in bfs_distances(spark, _edges_df(spark, rows), seeds, max_hops=3).collect()
+    }
+    assert got == bfs_exact(rows, seeds, max_hops=3)
+
+
+def test_bfs_distances_multi_seed_and_bound(spark):
+    rows = [(f"n{i}", f"n{i+1}", 1.0) for i in range(8)]  # path n0..n8
+    df = _edges_df(spark, rows)
+    got = {r["node_id"]: r["dist"]
+           for r in bfs_distances(spark, df, ["n0", "n8"], max_hops=2).collect()}
+    assert got == {"n0": 0, "n8": 0, "n1": 1, "n7": 1, "n2": 2, "n6": 2}
+    # seeds not present in the graph contribute nothing
+    got2 = {r["node_id"]: r["dist"]
+            for r in bfs_distances(spark, df, ["zz"], max_hops=2).collect()}
+    assert got2 == {}
