@@ -73,8 +73,19 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_counts(tokens: DataFrame) -> DataFrame:
-    """(subject, object, weight) phrase co-occurrence counts, subject<object."""
-    a, b = tokens.alias("a"), tokens.alias("b")
+    """(subject, object, weight) phrase co-occurrence counts, subject<object —
+    with the same per-chunk token cap as extract.make_facts (mirrored in
+    the oracle's `capped` CTE)."""
+    from pyspark.sql import Window
+    from hipporag_spark.extract import MAX_TOKENS_PER_CHUNK
+
+    w = Window.partitionBy("chunk_id").orderBy("token")
+    capped = (
+        tokens.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= MAX_TOKENS_PER_CHUNK)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(b, "chunk_id")
         .where(F.col("a.token") < F.col("b.token"))
@@ -650,9 +661,15 @@ _TOKS = (
     "'[^a-z0-9 一-鿿]', ' ', 'g')), ' +')) AS t(tok) WHERE t.tok <> '')"
 )
 
+# pair CTE mirrors extract.make_facts's pathological-chunk guard: each
+# chunk contributes only its 2048 lexicographically-first distinct tokens
+# to co-occurrence pairs (no-op on real corpora; bounds the quadratic)
 _PAIRS = (
+    "capped AS (SELECT chunk_id, token FROM ("
+    "SELECT chunk_id, token, row_number() OVER ("
+    "PARTITION BY chunk_id ORDER BY token) AS _rn FROM toks) WHERE _rn <= 2048), "
     "pairs AS (SELECT a.chunk_id, a.token AS subject, b.token AS object "
-    "FROM toks a JOIN toks b USING (chunk_id) WHERE a.token < b.token), "
+    "FROM capped a JOIN capped b USING (chunk_id) WHERE a.token < b.token), "
     "counts AS (SELECT subject, object, count(*)::DOUBLE AS weight FROM pairs GROUP BY 1, 2)"
 )
 

@@ -56,11 +56,12 @@ def decontaminate(
         shingles(benchmark, n=n, text_col=bench_text_col or text_col)
         .select("shingle")
         .distinct()
-        .persist()
     )
     # eval suites are tiny next to the corpus, so broadcast is the normal
     # path; an outsized benchmark falls back to a shuffle join instead of
-    # risking the driver (the gram count is one cheap agg on the small side)
+    # risking the driver.  The size guard recomputes the (tiny) distinct
+    # plan rather than persist()-ing it — a persisted handle could never
+    # be released after return and would pin executor storage per call
     small = bench_grams.count() <= 5_000_000
     bg = F.broadcast(bench_grams) if small else bench_grams
     doc_grams = shingles(docs, n=n, text_col=text_col)

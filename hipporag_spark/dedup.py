@@ -300,11 +300,18 @@ def embedding_neardup_pairs(
     - ``"lsh"``    the scale path: signed-random-projection bucketing
       (``n_bits`` seeded hyperplanes, Hamming-1 multiprobe on one side)
       generates candidates by an equi-join on the bucket key — NO cross
-      join — then exact cosine verifies each candidate.  High-cosine
-      pairs collide in SRP buckets with probability ``1-(θ/π)·n_bits``
-      per probe, so near-dups (θ→0 at cos ≥ 0.95) are found with
-      near-certain recall (asserted vs exact in tests);
-    - ``"auto"``   exact at or below ``auto_limit`` rows, else lsh.
+      join — then exact cosine verifies each candidate.  Recall is
+      probabilistic: with per-bit disagreement probability ``p = θ/π``,
+      a pair is generated iff its signatures differ in ≤1 bit,
+      ``P = (1-p)^B + B·p·(1-p)^(B-1)`` — at cos = 0.99 (p≈0.045, B=8)
+      that is ≈0.95, but right AT a 0.95 threshold (p≈0.10) it drops to
+      ≈0.81, i.e. ~1 in 5 borderline pairs is missed.  Size ``n_bits``
+      down (or add probes) when borderline recall matters more than
+      candidate volume; the exact mode remains the oracle
+      (recall asserted vs exact in tests at the tested settings);
+    - ``"auto"``   exact at or below ``auto_limit`` rows, else lsh —
+      callers needing exhaustive recall above the limit should run
+      ``knn.cosine_topk`` or lower the threshold margin accordingly.
     """
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))

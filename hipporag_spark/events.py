@@ -18,9 +18,13 @@ engine-native surface for the ``events`` table shape
   state carries the open session; a session is emitted the moment a
   same-user event closes it (deterministic, watermark-independent),
   and the *last* open session closes via event-time timeout once the
-  watermark passes its end + gap.  Out-of-order events are handled
-  within the watermark; older ones are dropped by Spark's watermark
-  contract (the documented streaming trade-off vs the exact batch op).
+  watermark passes its end + gap.  Out-of-order events inside one
+  micro-batch are handled exactly (sorted before processing); a
+  cross-batch late event still within the watermark is folded into the
+  user's open session (extending its start backwards if needed) without
+  re-splitting accumulated state, and events older than the watermark
+  are dropped by Spark's watermark contract — the two documented
+  streaming trade-offs vs the exact batch op.
 
 Numeric note: ``value`` sums are computed in ``decimal(18,2)`` and cast
 back to double, so results are independent of partitioning/aggregation
@@ -141,7 +145,9 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
         rows = rows.sort_values(["ts", "event_id"])
         ts_us = rows["ts"].astype("int64")  # ns -> derive us below
         ts_us = (ts_us // 1000).to_numpy()
-        cents = (rows["value"].round(2) * 100).round().astype("int64").to_numpy()
+        # NULL values contribute 0 to the sum — same semantics as the
+        # batch path's nan-skipping decimal sum (and no non-finite crash)
+        cents = (rows["value"].fillna(0.0).round(2) * 100).round().astype("int64").to_numpy()
         if state.exists:
             start_us, last_us, n, tot = state.get
         else:
@@ -158,7 +164,13 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                 out.append((start_us, last_us, n, tot))
                 start_us, last_us, n, tot = t, t, 1, c
             else:
-                last_us, n, tot = t, n + 1, tot + c
+                # t < last_us only for a cross-micro-batch late event
+                # (in-batch rows are sorted): fold it into the open
+                # session without rewinding session_end — rewinding
+                # would emit end < start and could later split the
+                # session where the batch semantics keep one
+                start_us = min(start_us, t)
+                last_us, n, tot = max(last_us, t), n + 1, tot + c
         state.update((int(start_us), int(last_us), int(n), int(tot)))
         # close the open session when the watermark passes end + gap
         state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)

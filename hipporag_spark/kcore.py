@@ -150,8 +150,6 @@ def _core_local(spark, und, max_iter) -> CoreResult:
     """Driver-local fast path: exact O(E) bucket peeling (Batagelj &
     Zaveršnik 2003) — an INDEPENDENT algorithm from the distributed
     h-index loop, so agreement in tests is evidence, not tautology."""
-    import pandas as pd
-
     pdf = und.toPandas()
     adj: dict = {}
     for u, v in zip(pdf["src"], pdf["dst"]):
@@ -166,9 +164,9 @@ def _core_local(spark, und, max_iter) -> CoreResult:
             if v not in removed and core[v] > core[u]:
                 core[v] -= 1
     out = spark.createDataFrame(
-        pd.DataFrame(sorted(core.items()), columns=["node_id", "coreness"])
+        [(str(u), int(c)) for u, c in sorted(core.items())],
+        "node_id string, coreness long",
     )
-    out = out.select("node_id", F.col("coreness").cast("long"))
     return CoreResult(out, 1, True, [{"mode": "local_peel"}])
 
 
@@ -188,9 +186,9 @@ def bfs_distances(
     und.count()
     if not isinstance(seeds, DataFrame):
         seeds_df = spark.createDataFrame(
-            [(str(s),) for s in seeds], "node_id string")
+            [(str(s),) for s in set(seeds)], "node_id string")
     else:
-        seeds_df = seeds.select("node_id")
+        seeds_df = seeds.select("node_id").distinct()
     # seeds outside the graph's node set still get dist 0 rows only if
     # they exist as graph nodes — matching the oracle's node-set semantics
     nodes = und.select(F.col("src").alias("node_id")).distinct()

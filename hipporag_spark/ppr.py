@@ -1049,6 +1049,28 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
             pslice = np.empty(my_len, dtype=np.float64)
             tslice = np.empty(my_len, dtype=np.float64)
 
+            # positions owned by NO task's slice: relabeled layouts park
+            # zero-in-edge nodes past the last block span, and a dst range
+            # with no in-edges at all produces no block directory.  The
+            # slice-local blend skips them, so every task blends them
+            # privately from the reset alone (their contribution is
+            # exactly 0.0, making this bitwise-identical to the
+            # zero-filled full-vector blend of the other modes); pid 0
+            # folds their L1 term into its convergence partial.
+            cov = np.zeros(_n, dtype=bool)
+            for t_ in range(_nt):
+                if _layout_balanced:
+                    cov[peer_idx[t_]] = True
+                elif _offs is not None:
+                    for b in task_blocks[t_]:
+                        cov[_offs[b]:_offs[b] + _lens[b]] = True
+                else:
+                    for b in task_blocks[t_]:
+                        cov[b::_nb] = True
+            miss_idx = np.flatnonzero(~cov)
+            miss_reset = reset_v[miss_idx]
+            del cov
+
             prev = np.load(_os.path.join(_bdir, "rank_in.npy"))
             walls = []
             # per-step phase walls (lists) — totals hide the cold first
@@ -1088,7 +1110,14 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                 np.add(slice_buf, tslice, out=slice_buf)   # ≡ new, own slice
                 np.subtract(slice_buf, pslice, out=pslice)
                 np.abs(pslice, out=pslice)
-                send_buf[my_len] = pslice.sum()   # L1 partial, piggybacked
+                dpart = float(pslice.sum())
+                miss_new = None
+                if miss_idx.size:
+                    # same op sequence as the slice blend with contrib=0
+                    miss_new = (dm * miss_reset) * _d + (1.0 - _d) * miss_reset
+                    if pid == 0:
+                        dpart += float(np.abs(miss_new - prev[miss_idx]).sum())
+                send_buf[my_len] = dpart          # L1 partial, piggybacked
                 _atomic_save(_os.path.join(_bdir, f"t_{g}_{pid}.npy"), send_buf)
                 t1 = _t.time()
                 phases["kernel_ms"].append((t1 - t0) * 1000)
@@ -1137,6 +1166,8 @@ def _batched_loop(spark, sc, store, metrics, ranks, start_it, max_iter, converge
                                 f"superstep {g}: peers {sorted(pending)} missing")
                         _t.sleep(sleep)
                         sleep = min(sleep * 1.5, 2e-3)
+                if miss_new is not None:
+                    contrib[miss_idx] = miss_new
                 t2 = _t.time()
                 phases["consume_ms"].append((t2 - t1) * 1000)
 

@@ -118,3 +118,45 @@ def test_sessionize_stream_matches_batch(spark, batch_events, tmp_path):
     got = got[cols].sort_values(cols).reset_index(drop=True)
     want = want[cols].sort_values(cols).reset_index(drop=True)
     assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
+
+
+def test_sessionize_batch_null_values(spark):
+    rows = [
+        (0, T0, 9, "view", None),
+        (1, T0 + _min(5), 9, "click", 2.50),
+    ]
+    got = ev.sessionize(_mk(spark, rows), gap_minutes=30).toPandas()
+    assert len(got) == 1
+    assert got["n_events"][0] == 2 and got["total_value"][0] == 2.50
+
+
+def test_sessionize_stream_null_and_late_events(spark, tmp_path):
+    """A NULL value must not crash the micro-batch (it sums as 0, the
+    batch semantics), and a cross-batch late event inside the watermark
+    folds into the open session — extending its start backwards, never
+    rewinding its end."""
+    first = _mk(spark, [
+        (0, T0, 7, "view", None),          # null value
+        (1, T0 + _min(10), 7, "click", 2.0),
+    ])
+    late = _mk(spark, [
+        (2, T0 - _min(5), 7, "view", 1.0),  # late, within watermark
+    ])
+    sentinel = _mk(spark, [(9, T0 + dt.timedelta(days=10), 7, "view", 0.01)])
+    src = str(tmp_path / "src3")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    got = _run_stream(
+        spark, src, str(tmp_path / "ck3"),
+        lambda s: (ev.sessionize_stream(s, gap_minutes=30, watermark="1 hour")
+                   .writeStream.format("memory").outputMode("append")),
+        "sess_stream_late",
+    ).toPandas()
+    got = got[got["session_start"] < T0 + dt.timedelta(days=1)]
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["session_start"] == T0 - _min(5)   # extended backwards
+    assert row["session_end"] == T0 + _min(10)    # never rewound
+    assert row["n_events"] == 3 and row["total_value"] == 3.0

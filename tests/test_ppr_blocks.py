@@ -187,3 +187,38 @@ def test_string_id_layout_matches_local(spark, tmp_path):
         damping=0.85, tol=1e-12, mode="local").ranks.collect()
     for r in want:
         assert abs(got[str(id_map[r["node_id"]])] - r["score"]) < 1e-9, r["node_id"]
+
+
+def test_batched_isolated_ids_blend(spark, tmp_path):
+    """Node ids declared via int_ids but absent from every edge sit past
+    the last block span in the relabeled layout (no task's slice owns
+    them).  The batched path must still blend them from the reset each
+    superstep — bitwise equal to the zero-filled per-job path — instead
+    of leaving uninitialized memory in the rank vector."""
+    n = 64
+    pdf = pd.DataFrame({
+        "src": [0, 1, 2, 3, 4, 5, 6, 7],
+        "dst": [1, 2, 3, 0, 5, 6, 7, 4],
+        "weight": np.ones(8),
+    })
+    edges = spark.createDataFrame(pdf)  # ids 8..63 appear in no edge
+    out = str(tmp_path / "blocks_isolated")
+    prepare_csr_blocks(spark, edges, out, n_blocks=4, int_ids=n,
+                       unit_weights=True)
+    reset = np.zeros(n)
+    reset[[0, 30, 63]] = [0.5, 0.25, 0.25]  # seeds include isolated ids
+
+    base = ppr_from_blocks(spark, out, reset, damping=0.85, tol=1e-9,
+                           max_iter=300)
+    got = ppr_from_blocks_batched(spark, out, reset, damping=0.85,
+                                  tol=1e-9, max_iter=300,
+                                  supersteps_per_job=5)
+    bv = base.ranks.toPandas().sort_values("node_id")["score"].to_numpy()
+    gv = got.ranks.toPandas().sort_values("node_id")["score"].to_numpy()
+    assert np.array_equal(bv, gv)
+    assert got.converged and got.iterations == base.iterations
+    # isolated seeds hold reset mass; isolated non-seeds converge to 0
+    pdf_scores = got.ranks.toPandas()
+    s = {int(r["node_id"]): r["score"] for _, r in pdf_scores.iterrows()}
+    assert s[30] > 0 and s[63] > 0
+    assert s[10] == 0.0
