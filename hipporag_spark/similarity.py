@@ -133,25 +133,30 @@ def _assign(vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> Da
     """Nearest-centroid assignment as ONE map-side projection.
 
     The centroid table is bounded by design (≤ hundreds), so the argmax
-    is ``array_max`` over per-centroid ``struct(csim, -centroid_id)``
-    entries compiled into the plan as literals: no 16× row explosion and
-    no per-id argmax sort-shuffle (the former crossJoin + window shape
-    shuffled |vecs|×|centroids| rows every Lloyd iteration).  Bit-
-    identical to that shape — the per-pair cosine is the same
-    ``cosine_expr`` float64 sequence, and struct comparison reproduces
-    the (csim desc, centroid_id asc) tie-break via the negated id."""
+    is ``array_max`` over ``struct(csim, -position)`` entries produced by
+    a single indexed ``transform`` over one nested centroid literal: no
+    16× row explosion, no per-id argmax sort-shuffle, and — unlike the
+    earlier shape that inlined ``cosine_expr`` once per centroid — the
+    cosine expression appears ONCE in the plan, which cuts Catalyst
+    analysis/codegen from the dominant cost of a Lloyd iteration to
+    noise.  Bit-identical: the per-pair cosine is the same float64
+    ``zip_with``/``aggregate`` sequence per element, array position ==
+    ``centroid_id`` (rows sorted by id), and struct comparison
+    reproduces the (csim desc, centroid_id asc) tie-break via the
+    negated position."""
     rows = sorted(centroids.select("centroid_id", "centroid").collect(),
                   key=lambda r: r["centroid_id"])
-    best = F.array_max(F.array(*[
-        F.struct(
-            cosine_expr(
-                F.col("embedding"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]),
-            ).alias("csim"),
-            F.lit(-int(r["centroid_id"])).alias("nid"),
-        )
-        for r in rows
-    ]))
+    assert [int(r["centroid_id"]) for r in rows] == list(range(len(rows)))
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in rows
+    ])
+    best = F.array_max(F.transform(
+        cent_lit,
+        lambda c, i: F.struct(
+            cosine_expr(F.col("embedding"), c).alias("csim"),
+            (-i).alias("nid"),
+        ),
+    ))
     return vecs.select(
         id_col, "embedding",
         (-best["nid"]).cast("int").alias("centroid_id"),
