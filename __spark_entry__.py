@@ -576,6 +576,13 @@ def q_dataset_split(spark, sf_dir):
     return ts.dataset_split(_docs(spark, sf_dir))
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus size/length profile with EXACT percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont` on float64)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ts.corpus_profile(docs)
+
+
 def q_synonym_edges(spark, sf_dir):
     """HippoRAG synonym-edge construction (HippoRAG.py:818-879 acceptance
     rules: eligibility, threshold, self/empty exclusion, 2047-candidate
@@ -645,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_edges": q_synonym_edges,
         "dedup_clusters": q_dedup_clusters,
         "dataset_split": q_dataset_split,
+        "corpus_profile": q_corpus_profile,
         "media_features": q_media_features,
     }
 
@@ -1336,6 +1344,13 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
                          / 4294967296.0 AS u
                   FROM documents)""",
+        "corpus_profile": """
+            SELECT lang AS stratum, count(*) AS n_docs,
+                   sum(n_chars)::DOUBLE AS total_chars,
+                   quantile_cont(n_chars::DOUBLE, 0.5) AS p50,
+                   quantile_cont(n_chars::DOUBLE, 0.9) AS p90,
+                   quantile_cont(n_chars::DOUBLE, 0.99) AS p99
+            FROM documents GROUP BY lang""",
         "jaccard_pairs": f"""
             WITH {_DARR}, {_shingle_cte(1)},
             rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),

@@ -124,6 +124,6 @@ def stratified_sample(
         *[F.lit(x) for kv in rates.items() for x in kv]
     )
     rate = F.coalesce(
-        rate_map.getItem(F.col(strata_col).cast("string")), F.lit(0.0)
+        rate_map[F.col(strata_col).cast("string")], F.lit(0.0)
     )
     return df.where(u < rate)

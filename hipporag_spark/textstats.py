@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["token_counts", "quality_scores", "language_id", "fingerprints",
-           "dataset_split", "pii_scrub", "repetition_stats", "BPE_PATTERN"]
+           "dataset_split", "pii_scrub", "repetition_stats", "corpus_profile",
+           "BPE_PATTERN"]
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum-non-space
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -240,3 +241,36 @@ def dataset_split(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return docs.select(F.col(id_col).alias("doc_id"), expr.alias("split"))
+
+
+def corpus_profile(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum corpus profile ``(stratum, n_docs, total_chars, p50,
+    p90, p99)`` — the size/length distribution readout every curation
+    decision starts from (mixing weights, truncation limits, outlier
+    gates).
+
+    Percentiles are Spark's EXACT ``percentile`` (sort-based linear
+    interpolation, not the t-digest ``approx_percentile``), which matches
+    DuckDB's ``quantile_cont`` bit-for-bit on float64 — that exactness is
+    what lets the driver gate carry an exact oracle.  At 100 TB the
+    single-pass profile is one map-side-combinable agg per stratum for
+    the counts/sums; the exact percentile collects each stratum's length
+    column (ints, not documents) — for corpora where even that is too
+    large, swap ``approx_percentile`` in and drop the gate expectation.
+    The char sum runs in decimal so it is partitioning-order exact.
+    """
+    lc = F.col(length_col).cast("double")
+    return (
+        docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(length_col).cast("decimal(18,0)")).cast("double").alias("total_chars"),
+            F.percentile(lc, F.lit(0.5)).alias("p50"),
+            F.percentile(lc, F.lit(0.9)).alias("p90"),
+            F.percentile(lc, F.lit(0.99)).alias("p99"),
+        )
+    )

@@ -118,3 +118,17 @@ def test_repetition_stats(spark):
     assert out.loc[22, "top_word_frac"] == pytest.approx(1 / 5)
     assert out.loc[23, "n_lines"] == 0
     assert out.loc[23, "dup_line_frac"] == 0.0 and out.loc[23, "top_word_frac"] == 0.0
+
+
+def test_corpus_profile_exact_percentiles(spark):
+    from hipporag_spark.textstats import corpus_profile
+
+    rows = [(f"d{i}", "x", "en", "s", n) for i, n in enumerate([10, 20, 30, 40, 100])]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, source string, n_chars long")
+    got = corpus_profile(docs).collect()[0]
+    assert got["stratum"] == "en" and got["n_docs"] == 5
+    assert got["total_chars"] == 200.0
+    assert got["p50"] == 30.0            # exact median
+    assert got["p90"] == 76.0            # 40 + 0.6*(100-40)
+    assert abs(got["p99"] - 97.6) < 1e-9  # 40 + 0.96*60
