@@ -51,6 +51,13 @@ from hipporag_spark.evaluation import (
 from hipporag_spark.retrieve import GraphRetriever, RetrievalConfig
 
 SEED_PHRASES = ["key", "row", "table"]
+
+# One constant drives BOTH the engine's max_iter and the DuckDB oracle's
+# fixed recursive-CTE round count for the kcore gate, set far above any
+# plausible diameter of the phrase graph; q_kcore additionally asserts
+# CoreResult.converged so a graph needing more rounds fails loudly
+# instead of silently diverging from the oracle (ADVICE r3 item 2).
+KCORE_ORACLE_ROUNDS = 60
 NEARDUP_COS = 0.45
 JACCARD_TH = 0.7
 
@@ -505,9 +512,19 @@ def q_kcore(spark, sf_dir):
     """Coreness of every phrase-graph node via the distributed h-index
     fixpoint (mode='dataframe' pins the join+window superstep loop, not
     the local peel); oracle = the same synchronous iteration as a
-    recursive CTE (30 rounds — converged supersteps are no-ops)."""
+    recursive CTE run for KCORE_ORACLE_ROUNDS fixed rounds (converged
+    supersteps are no-ops).  The engine iterates to convergence and we
+    ASSERT it converged within the oracle's round budget, so gate and
+    engine cannot silently diverge on a high-diameter graph (ADVICE r3
+    item 2: h-index convergence is O(diameter))."""
     edges = _phrase_edges(_tokens(spark, sf_dir))
-    return core_decomposition(spark, edges, mode="dataframe").coreness
+    res = core_decomposition(spark, edges, mode="dataframe",
+                             max_iter=KCORE_ORACLE_ROUNDS)
+    if not res.converged:
+        raise RuntimeError(
+            f"h-index fixpoint did not converge within KCORE_ORACLE_ROUNDS="
+            f"{KCORE_ORACLE_ROUNDS} supersteps; oracle parity would be void")
+    return res.coreness
 
 
 def q_bfs_dist(spark, sf_dir):
@@ -1221,7 +1238,7 @@ def oracle_sql() -> dict[str, str]:
             pr(it, node_id, c) AS (
                 SELECT 0, src, count(*)::BIGINT FROM und GROUP BY 2
                 UNION ALL
-                (WITH cur AS (SELECT * FROM pr WHERE it < 30),
+                (WITH cur AS (SELECT * FROM pr WHERE it < {KCORE_ORACLE_ROUNDS}),
                  j AS (SELECT und.src AS node_id, cur.c, cur.it
                        FROM und JOIN cur ON cur.node_id = und.dst),
                  r AS (SELECT node_id, it,
@@ -1231,7 +1248,7 @@ def oracle_sql() -> dict[str, str]:
                  h AS (SELECT node_id, max(it) AS it, max(hc)::BIGINT AS c
                        FROM r GROUP BY 1)
                  SELECT it + 1, node_id, c FROM h))
-            SELECT node_id, c AS coreness FROM pr WHERE it = 30""",
+            SELECT node_id, c AS coreness FROM pr WHERE it = {KCORE_ORACLE_ROUNDS}""",
         "bfs_dist": f"""
             WITH RECURSIVE {_TOKS_MAT}, {_PAIRS_MAT},
             und AS MATERIALIZED (

@@ -472,6 +472,43 @@ def measure_levels(blocks_dir: str, levels=(2, 8, 32),
     return out
 
 
+FULL_RECORD = os.path.join(BENCH_DIR, "bench_r4_local.json")
+
+
+def compact_record(out: dict) -> dict:
+    """The ONE stdout JSON line, kept well under the driver's 2000-char
+    tail capture (VERDICT r3 "What's wrong" #3: round 3's 2657-char line
+    overran it and the official record became `parsed: null`).  Per-query
+    medians + the scaling verdict stay on stdout; per-sweep raw values,
+    control step walls and estimator variants live in ``FULL_RECORD``."""
+    c = {k: out[k] for k in
+         ("metric", "unit", "sf", "queries", "headline_sweeps", "value")
+         if k in out}
+    ps = out.get("ppr_scaling")
+    if ps:
+        c["ppr_scaling"] = {
+            "edges": ps["edges"], "nodes": ps["nodes"], "blocks": ps["blocks"],
+            **{lvl: {k: ps[lvl][k] for k in
+                     ("superstep_sec", "edges_per_sec", "supersteps_per_min")}
+               for lvl in ("local2", "local8", "local32")},
+            "efficiency_N_to_4N": ps["efficiency_N_to_4N"],
+            "efficiency_N_to_4N_pair": ps["efficiency_N_to_4N_pair"],
+            "efficiency_basis": ps["efficiency_basis"],
+            "efficiency_2_to_8": ps["efficiency_2_to_8"],
+            "efficiency_8_to_32": ps["efficiency_8_to_32"],
+            "kernel_ceiling_efficiency": ps["kernel_ceiling"]["efficiency"],
+            "spark_efficiency_vs_ceiling": ps["spark_efficiency_vs_ceiling"],
+            "gate_pass": ps["gate_pass"],
+        }
+    if "incremental_index" in out:
+        c["incremental_index"] = out["incremental_index"]
+    c["full_record"] = FULL_RECORD
+    line = json.dumps(c)
+    # hard guarantee: never overrun the tail capture again
+    assert len(line) < 1900, f"compact bench line too long ({len(line)})"
+    return c
+
+
 def main():
     out = {"metric": "headline_total_sec", "unit": "sec",
            "sf": float(SF_DIR.rstrip("/").split("sf")[-1])}
@@ -545,7 +582,10 @@ def main():
             "gate_pass": bool(paired_8_32 >= 0.8
                               or delta["delta_median"] >= -0.05),
         }
-    print(json.dumps(out))
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(FULL_RECORD, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(compact_record(out)))
 
 
 if __name__ == "__main__":

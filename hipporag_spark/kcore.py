@@ -147,24 +147,58 @@ def core_decomposition(
 
 
 def _core_local(spark, und, max_iter) -> CoreResult:
-    """Driver-local fast path: exact O(E) bucket peeling (Batagelj &
+    """Driver-local fast path: exact O(V+E) bucket peeling (Batagelj &
     Zaveršnik 2003) — an INDEPENDENT algorithm from the distributed
-    h-index loop, so agreement in tests is evidence, not tautology."""
+    h-index loop, so agreement in tests is evidence, not tautology.
+
+    This is the REAL bucket peel (vertices kept sorted by current degree
+    in one array, a per-degree bucket-start pointer, O(1) swap per
+    degree decrement), replacing round-3's min()-scan variant that was
+    O(V^2) and would have stalled the driver for hours on the ~10^5-node
+    graphs ``local_edge_limit`` admits (ADVICE r3 item 1).  The only
+    Python-level loop is one pass over the E directed edge endpoints.
+    """
+    import numpy as np
+
     pdf = und.toPandas()
-    adj: dict = {}
-    for u, v in zip(pdf["src"], pdf["dst"]):
-        adj.setdefault(u, set()).add(v)
-    core = {u: len(ns) for u, ns in adj.items()}
-    removed: set = set()
-    for _ in range(len(adj)):
-        u = min((x for x in adj if x not in removed),
-                key=lambda x: (core[x], str(x)))
-        removed.add(u)
-        for v in adj[u]:
-            if v not in removed and core[v] > core[u]:
-                core[v] -= 1
+    # und is the symmetric simple graph, so src's distinct set == node set
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    nodes, s = np.unique(src, return_inverse=True)
+    d = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    deg = np.bincount(s, minlength=n)
+    order = np.argsort(s, kind="stable")
+    adj = d[order]  # CSR neighbor array
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    ptr[1:] = np.cumsum(deg)
+    core = deg.astype(np.int64)
+    # vert = vertices sorted by current degree; pos = inverse; bin_ptr[k]
+    # = first slot in vert whose vertex currently has degree k
+    vert = np.argsort(deg, kind="stable")
+    pos = np.empty(n, dtype=np.int64)
+    pos[vert] = np.arange(n)
+    max_deg = int(deg.max()) if n else 0
+    bin_ptr = np.zeros(max_deg + 2, dtype=np.int64)
+    bin_ptr[1:] = np.cumsum(np.bincount(deg, minlength=max_deg + 1))
+    bin_ptr = bin_ptr[:-1]  # bin_ptr[k] = start of degree-k bucket
+    for i in range(n):
+        v = vert[i]
+        cv = core[v]
+        for j in range(ptr[v], ptr[v + 1]):
+            u = adj[j]
+            cu = core[u]
+            if cu > cv:
+                # swap u with the first vertex of its bucket, shrink it
+                pu, pw = pos[u], bin_ptr[cu]
+                w = vert[pw]
+                if u != w:
+                    vert[pu], vert[pw] = w, u
+                    pos[u], pos[w] = pw, pu
+                bin_ptr[cu] += 1
+                core[u] = cu - 1
     out = spark.createDataFrame(
-        [(str(u), int(c)) for u, c in sorted(core.items())],
+        [(str(nodes[u]), int(core[u])) for u in range(n)],
         "node_id string, coreness long",
     )
     return CoreResult(out, 1, True, [{"mode": "local_peel"}])

@@ -146,7 +146,14 @@ def _assign(vecs: DataFrame, centroids: DataFrame, id_col: str = "vec_id") -> Da
     negated position."""
     rows = sorted(centroids.select("centroid_id", "centroid").collect(),
                   key=lambda r: r["centroid_id"])
-    assert [int(r["centroid_id"]) for r in rows] == list(range(len(rows)))
+    ids = [int(r["centroid_id"]) for r in rows]
+    if ids != list(range(len(rows))):
+        # contiguity is load-bearing (array position == centroid_id); a
+        # bare assert would vanish under `python -O` and silently
+        # misattribute assignments (ADVICE r3 item 3)
+        raise ValueError(
+            f"centroid_id must be contiguous 0..{len(rows) - 1}; got {ids[:8]}"
+        )
     cent_lit = F.array(*[
         F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in rows
     ])
