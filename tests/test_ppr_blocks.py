@@ -222,3 +222,66 @@ def test_batched_isolated_ids_blend(spark, tmp_path):
     s = {int(r["node_id"]): r["score"] for _, r in pdf_scores.iterrows()}
     assert s[30] > 0 and s[63] > 0
     assert s[10] == 0.0
+
+
+@pytest.mark.parametrize("unit", [True, False])
+def test_blocks_distributed_assignment_matches_reference(spark, tmp_path, unit,
+                                                         monkeypatch):
+    """assign_mode='distributed' (the large-V path: hub-LPT + cumulative-
+    degree range split, VERDICT r3 item 2) must (a) never collect a
+    per-node relation to the driver — toPandas is poisoned for the whole
+    prepare call — and (b) produce a layout whose PPR scores match the
+    exact reference, like the LPT layout does."""
+    import pyspark.sql as pssql
+
+    edges = _random_edges(spark, seed=5, weighted=not unit)
+    out = str(tmp_path / f"blocks_dist_{unit}")
+
+    def _boom(self):
+        raise AssertionError("toPandas called inside distributed prepare")
+
+    monkeypatch.setattr(pssql.DataFrame, "toPandas", _boom)
+    try:
+        meta = prepare_csr_blocks(spark, edges, out, n_blocks=4, int_ids=N,
+                                  unit_weights=unit,
+                                  assign_mode="distributed")
+    finally:
+        monkeypatch.undo()
+    assert meta["layout"] == "relabeled"
+    assert sum(meta["block_sizes"]) <= N
+    reset = np.zeros(N)
+    reset[[3, 77, 123]] = [0.2, 0.5, 0.3]
+    got = ppr_from_blocks(spark, out, reset, damping=0.85, tol=1e-12,
+                          max_iter=300)
+    gp = got.ranks.toPandas()
+    gp["idx"] = gp["node_id"].astype(int)
+    gv = np.zeros(N)
+    gv[gp["idx"].to_numpy()] = gp["score"].to_numpy()
+    ref = _reference_scores(spark, edges, reset, 0.85)
+    mask = ref > 0
+    assert np.allclose(gv[mask], ref[mask], atol=1e-9)
+    assert got.converged
+
+
+def test_blocks_distributed_assignment_is_balanced(spark, tmp_path):
+    """Per-block edge counts under the distributed assignment stay within
+    the documented bound of perfect balance even with Zipf-skewed hubs
+    (the top hub here holds ~8% of all edges)."""
+    rng = np.random.default_rng(9)
+    n_edges = 20000
+    src = rng.integers(0, N, n_edges)
+    u = rng.uniform(size=n_edges)
+    dst = np.minimum((N * u**3).astype(int), N - 1)  # hub-heavy
+    pdf = pd.DataFrame({"src": src, "dst": dst, "weight": np.ones(n_edges)})
+    edges = spark.createDataFrame(pdf)
+    out = str(tmp_path / "blocks_skew")
+    prepare_csr_blocks(spark, edges, out, n_blocks=8, int_ids=N,
+                       unit_weights=True, assign_mode="distributed")
+    per_block = {
+        r["block"]: r["cnt"]
+        for r in spark.read.parquet(f"{out}/blocks")
+        .groupBy("block").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    counts = np.array([per_block.get(b, 0) for b in range(8)])
+    mean = counts.mean()
+    assert counts.max() <= 1.25 * mean, (counts.tolist(), mean)

@@ -61,3 +61,32 @@ def test_context_manager_and_invalid_ids(spark, tmp_path):
         mgr.get("../escape")
     with pytest.raises(ValueError):
         mgr.get("")
+
+
+def test_eviction_leaves_tables_on_disk_bit_identical(spark, tmp_path):
+    """The "eviction keeps data" claim, checked at the storage layer
+    (VERDICT r3 next-round item 8): after the LRU drops a tenant, every
+    one of its catalog tables still exists on disk, and a fresh manager
+    (fresh registry load, nothing cached) reads back row sets identical
+    to those snapshotted before eviction."""
+    root = str(tmp_path / "t5")
+    mgr = MultiTenantManager(spark, root, max_loaded=1)
+    a = mgr.get("t_a")
+    a.index(_docs(spark, [("a.py", "alpha rows in table one"),
+                          ("b.py", "beta keys join scan")]))
+    tables = ["chunks", "entities", "facts", "membership", "edges"]
+    before = {
+        t: sorted(map(tuple, (r for r in a.cat.read(t).collect())))
+        for t in tables if a.cat.exists(t)
+    }
+    assert before, "expected at least one persisted table"
+    mgr.get("t_b")  # evicts t_a
+    assert "t_a" not in mgr.active_tenants()
+    # a brand-new manager over the same root: no resident instance, no
+    # in-memory state — everything must come from disk
+    mgr2 = MultiTenantManager(spark, root, max_loaded=1)
+    a2 = mgr2.get("t_a")
+    for t, rows in before.items():
+        assert a2.cat.exists(t), t
+        after = sorted(map(tuple, (r for r in a2.cat.read(t).collect())))
+        assert after == rows, f"table {t} changed across eviction"
