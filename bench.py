@@ -374,6 +374,50 @@ def dump_plan_artifacts(spark) -> None:
             f.write(p2)
 
 
+def incremental_index_bench(spark) -> dict:
+    """O(batch) evidence for ``HippoIndex.index`` at bench scale (VERDICT
+    r3 next-round item 5 — the claim was pytest-proven at toy size only):
+    index three distinct ~100-doc batches into a store, once when the
+    store holds S docs and once when it holds 4S, and report the median
+    per-batch wall at each size.  Near-equal walls (ratio ≈ 1) = the
+    incremental path's work is bounded by the batch, not the store.
+    Batches are hash-disjoint slices of the corpus so every timed call
+    really inserts rows (a repeated batch dedups to zero work)."""
+    import shutil
+
+    from hipporag_spark.engine import HippoIndex
+
+    corpus = corpus_from_documents(spark, SF_DIR)
+    c = corpus.withColumn(
+        "h", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(1000))).persist()
+    batches = [c.where((F.col("h") >= 2 * i) & (F.col("h") < 2 * i + 2)).drop("h")
+               for i in range(3)]
+    stores = {"small": c.where((F.col("h") >= 6) & (F.col("h") < 46)).drop("h"),
+              "large": c.where((F.col("h") >= 6) & (F.col("h") < 166)).drop("h")}
+    out: dict = {"batch_docs": batches[0].count()}
+    for name, base in stores.items():
+        root = os.path.join(CACHE, f"incr_store_{name}")
+        shutil.rmtree(root, ignore_errors=True)
+        idx = HippoIndex(spark, root)
+        idx.index(base)
+        out[f"store_{name}_docs"] = base.count()
+        # discarded warm-up batch: the first index() after a big base
+        # load pays JIT/codegen, which otherwise inflates whichever
+        # store is measured first
+        idx.index(c.where((F.col("h") >= 166) & (F.col("h") < 168)).drop("h"))
+        walls = []
+        for b in batches:
+            t0 = time.time()
+            idx.index(b)
+            walls.append(round(time.time() - t0, 3))
+        out[f"batch_wall_{name}"] = round(float(np.median(walls)), 3)
+        out[f"batch_walls_{name}"] = walls
+    c.unpersist()
+    out["large_over_small"] = round(
+        out["batch_wall_large"] / out["batch_wall_small"], 3)
+    return out
+
+
 SCALING_SWEEPS = int(os.environ.get("SPARK_GRAFT_SCALING_SWEEPS", "3"))
 
 
@@ -501,7 +545,9 @@ def compact_record(out: dict) -> dict:
             "gate_pass": ps["gate_pass"],
         }
     if "incremental_index" in out:
-        c["incremental_index"] = out["incremental_index"]
+        c["incremental_index"] = {
+            k: v for k, v in out["incremental_index"].items()
+            if not k.startswith("batch_walls_")}
     c["full_record"] = FULL_RECORD
     line = json.dumps(c)
     # hard guarantee: never overrun the tail capture again
@@ -516,6 +562,7 @@ def main():
     spark = get_spark("bench-headline", cores=CPUS)
     queries, sweeps = headline_medians(spark)
     dump_plan_artifacts(spark)
+    out["incremental_index"] = incremental_index_bench(spark)
     spark.stop()
     out["queries"] = queries
     out["query_sweeps"] = sweeps

@@ -148,29 +148,34 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
         # NULL values contribute 0 to the sum — same semantics as the
         # batch path's nan-skipping decimal sum (and no non-finite crash)
         cents = (rows["value"].fillna(0.0).round(2) * 100).round().astype("int64").to_numpy()
-        if state.exists:
-            start_us, last_us, n, tot = state.get
-        else:
-            start_us = last_us = None
-            n = 0
-            tot = 0
-        out = []
-        for i in range(len(rows)):
-            t = int(ts_us[i])
-            c = int(cents[i])
-            if start_us is None:
-                start_us, last_us, n, tot = t, t, 1, c
-            elif t - last_us > gap_us:
-                out.append((start_us, last_us, n, tot))
-                start_us, last_us, n, tot = t, t, 1, c
+        # Interval-merge the retained open session with the batch's
+        # events, sorted by event time: events within ``gap`` of each
+        # other (or of the open session's span) fold together; a
+        # cross-batch late event more than a gap BEFORE the open
+        # session's start becomes its own session, exactly as the batch
+        # sessionizer would split it (ADVICE r3 item 4 — the previous
+        # fold-always rule could drag session_start arbitrarily far
+        # back and merge two sessions the batch op keeps apart).  The
+        # one residual divergence from batch: a late event adjacent to
+        # a session that was ALREADY emitted in an earlier micro-batch
+        # cannot rejoin it (append mode emits once); it starts a fresh
+        # session instead — inherent to emit-on-close streaming.
+        items = [tuple(int(x) for x in state.get)] if state.exists else []
+        items += [(int(ts_us[i]), int(ts_us[i]), 1, int(cents[i]))
+                  for i in range(len(rows))]
+        items.sort(key=lambda x: (x[0], x[1]))
+        merged = [list(items[0])]
+        for s, e, n_, c_ in items[1:]:
+            cur = merged[-1]
+            if s - cur[1] <= gap_us:
+                cur[0] = min(cur[0], s)
+                cur[1] = max(cur[1], e)
+                cur[2] += n_
+                cur[3] += c_
             else:
-                # t < last_us only for a cross-micro-batch late event
-                # (in-batch rows are sorted): fold it into the open
-                # session without rewinding session_end — rewinding
-                # would emit end < start and could later split the
-                # session where the batch semantics keep one
-                start_us = min(start_us, t)
-                last_us, n, tot = max(last_us, t), n + 1, tot + c
+                merged.append([s, e, n_, c_])
+        out = [tuple(m) for m in merged[:-1]]
+        start_us, last_us, n, tot = merged[-1]
         state.update((int(start_us), int(last_us), int(n), int(tot)))
         # close the open session when the watermark passes end + gap
         state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)

@@ -160,3 +160,42 @@ def test_sessionize_stream_null_and_late_events(spark, tmp_path):
     assert row["session_start"] == T0 - _min(5)   # extended backwards
     assert row["session_end"] == T0 + _min(10)    # never rewound
     assert row["n_events"] == 3 and row["total_value"] == 3.0
+
+
+def test_sessionize_stream_late_beyond_gap_splits(spark, tmp_path):
+    """A cross-batch late event more than a gap BEFORE the open session's
+    start must become its own session (the batch semantics), not be
+    folded in — folding would pull session_start arbitrarily far back
+    and merge two sessions the batch op keeps apart (ADVICE r3 item 4).
+    Two such late events within a gap of each other merge together."""
+    first = _mk(spark, [
+        (0, T0 + _min(120), 7, "view", 1.0),
+        (1, T0 + _min(125), 7, "click", 2.0),
+    ])
+    late = _mk(spark, [
+        # 2h before the open session, within the 3h watermark; 5 min apart
+        (2, T0, 7, "view", 0.5),
+        (3, T0 + _min(5), 7, "view", 0.25),
+    ])
+    sentinel = _mk(spark, [(9, T0 + dt.timedelta(days=10), 7, "view", 0.01)])
+    src = str(tmp_path / "src4")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    got = _run_stream(
+        spark, src, str(tmp_path / "ck4"),
+        lambda s: (ev.sessionize_stream(s, gap_minutes=30, watermark="3 hours")
+                   .writeStream.format("memory").outputMode("append")),
+        "sess_stream_split",
+    ).toPandas()
+    got = got[got["session_start"] < T0 + dt.timedelta(days=1)]
+    got = got.sort_values("session_start").reset_index(drop=True)
+    assert len(got) == 2, got
+    early, main = got.iloc[0], got.iloc[1]
+    assert early["session_start"] == T0
+    assert early["session_end"] == T0 + _min(5)
+    assert early["n_events"] == 2 and early["total_value"] == 0.75
+    assert main["session_start"] == T0 + _min(120)
+    assert main["session_end"] == T0 + _min(125)
+    assert main["n_events"] == 2 and main["total_value"] == 3.0
