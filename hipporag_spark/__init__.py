@@ -25,6 +25,7 @@ Layout
 - :mod:`hipporag_spark.similarity`  exact + IVF + SRP-LSH similarity search
 - :mod:`hipporag_spark.textstats`   language-ID, quality scoring, token counts, fingerprints
 - :mod:`hipporag_spark.multimodal`  binary media columns: decode/resize/frame-sample plumbing
+- :mod:`hipporag_spark.api`         REST service (/index, /retrieve) over the multi-tenant engine
 - :mod:`hipporag_spark.checkpoint`  superstep checkpoint store (parquet + manifest)
 - :mod:`hipporag_spark._worker_cache`  per-worker block cache + chunked superstep kernel
 """
