@@ -201,3 +201,28 @@ def test_bfs_distances_multi_seed_and_bound(spark):
     got2 = {r["node_id"]: r["dist"]
             for r in bfs_distances(spark, df, ["zz"], max_hops=2).collect()}
     assert got2 == {}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_frontier_lpa_matches_reference_on_random_graphs(spark, seed):
+    """Randomized sweep targeted at the r4 frontier half-steps (gather
+    only nodes adjacent to changed labels; skip empty frontiers): the
+    dataframe mode must equal the exact non-frontier reference on
+    weighted random graphs with skewed degrees, where per-color
+    convergence times diverge and the skip logic actually engages."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = 36
+    rows = []
+    for _ in range(110):
+        u = int(rng.integers(0, n))
+        v = int(rng.integers(0, n)) if rng.random() > 0.3 else 0  # hub pull
+        if u == v:
+            continue
+        rows.append((f"n{u:02d}", f"n{v:02d}", float(rng.integers(1, 4))))
+    res = label_propagation(spark, _edges_df(spark, rows), max_iter=30,
+                            mode="dataframe")
+    assert res.converged
+    got = {r["node_id"]: r["label"] for r in res.labels.collect()}
+    assert got == lpa_exact(rows, max_iter=30)
