@@ -76,8 +76,16 @@ def timed(fn):
 
 def headline_queries(spark) -> dict:
     q = {}
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # the driver parquet is ONE file → Spark reads it as ONE partition and
+    # every downstream regex/explode/hash pipeline runs on a single core
+    # (the fix corpus_from_documents applied in r3 — r4 profiling showed
+    # shingles+minhash spending 11 s single-threaded here).  Repartition
+    # right after the scan, as any real multi-file table would arrive;
+    # every consumer below is partitioning-invariant (hash/groupBy/window
+    # with pinned ties).
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(par)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(par)
 
     state = {}
 
