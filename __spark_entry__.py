@@ -610,6 +610,19 @@ def q_dedup_clusters(spark, sf_dir):
     return dd.duplicate_clusters(spark, pairs, mode="star")
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """End-to-end duplicate removal — the composed pipeline op a training
+    corpus runs: exact content-hash dedup (keep min doc_id) + transitive
+    near-dup removal (LSH pairs -> components, keep cluster-min doc_id);
+    output = the surviving doc_ids.  Oracle = the dedup_clusters CTE
+    chain extended with the exact-loser set and an anti-filter."""
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingles(docs, n=1)
+    pairs = dd.lsh_candidate_pairs(sh, num_perm=8, bands=4, threshold=JACCARD_TH,
+                                   max_bucket=50)
+    return dd.dedup_corpus(spark, docs, pairs, mode="star").select("doc_id")
+
+
 def q_dataset_split(spark, sf_dir):
     return ts.dataset_split(_docs(spark, sf_dir))
 
@@ -690,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "synonym_edges": q_synonym_edges,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "dataset_split": q_dataset_split,
         "corpus_profile": q_corpus_profile,
         "media_features": q_media_features,
@@ -1095,6 +1109,46 @@ def _retrieve_oracle_sql() -> str:
         FROM ranked WHERE rank <= 10"""
 
 
+def _lsh_reach_cte() -> str:
+    """Shared oracle CTE chain: LSH candidate pairs -> verified Jaccard
+    -> symmetric pair graph -> recursive min-label reachability (the
+    dedup_clusters device), reused by the dedup_corpus gate."""
+    return f"""{_DARR}, {_shingle_cte(1)},
+            sig AS (SELECT doc_id, {_minhash_cols(8)} FROM sh GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
+                UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+                UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+                UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+            ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2
+                   HAVING count(*) BETWEEN 2 AND 50),
+            small AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM small a JOIN small b USING (band, band_key)
+                     WHERE a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.doc_a
+                      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+                      GROUP BY 1, 2),
+            lshp AS MATERIALIZED (
+                SELECT i.doc_a, i.doc_b
+                FROM inter i
+                JOIN sizes za ON za.doc_id = i.doc_a
+                JOIN sizes zb ON zb.doc_id = i.doc_b
+                WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= {JACCARD_TH}),
+            dnodes AS MATERIALIZED (
+                SELECT doc_a AS id FROM lshp UNION SELECT doc_b FROM lshp),
+            de AS MATERIALIZED (
+                SELECT doc_a AS src, doc_b AS dst FROM lshp
+                UNION ALL SELECT doc_b, doc_a FROM lshp),
+            reach(id, lbl) AS (
+                SELECT id, id FROM dnodes
+                UNION
+                SELECT de.dst, r.lbl FROM reach r JOIN de ON de.src = r.id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     corpus_path = "'org' || (doc_id % 7)::VARCHAR || '/src/f' || doc_id::VARCHAR || '.' || lang"
     simhash_votes = ", ".join(
@@ -1337,43 +1391,23 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure over the SAME verified LSH pair set as
         # `lsh_pairs`, canonical label = cluster-minimum doc_id
         "dedup_clusters": f"""
-            WITH RECURSIVE {_DARR}, {_shingle_cte(1)},
-            sig AS (SELECT doc_id, {_minhash_cols(8)} FROM sh GROUP BY doc_id),
-            bands AS (
-                SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS band_key FROM sig
-                UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
-                UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
-                UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
-            ok AS (SELECT band, band_key FROM bands GROUP BY 1, 2
-                   HAVING count(*) BETWEEN 2 AND 50),
-            small AS (SELECT b.* FROM bands b JOIN ok USING (band, band_key)),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM small a JOIN small b USING (band, band_key)
-                     WHERE a.doc_id < b.doc_id),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-            inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-                      FROM cand c
-                      JOIN sh sa ON sa.doc_id = c.doc_a
-                      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-                      GROUP BY 1, 2),
-            lshp AS MATERIALIZED (
-                SELECT i.doc_a, i.doc_b
-                FROM inter i
-                JOIN sizes za ON za.doc_id = i.doc_a
-                JOIN sizes zb ON zb.doc_id = i.doc_b
-                WHERE i.inter::DOUBLE / (za.sz + zb.sz - i.inter)::DOUBLE >= {JACCARD_TH}),
-            dnodes AS MATERIALIZED (
-                SELECT doc_a AS id FROM lshp UNION SELECT doc_b FROM lshp),
-            de AS MATERIALIZED (
-                SELECT doc_a AS src, doc_b AS dst FROM lshp
-                UNION ALL SELECT doc_b, doc_a FROM lshp),
-            reach(id, lbl) AS (
-                SELECT id, id FROM dnodes
-                UNION
-                SELECT de.dst, r.lbl FROM reach r JOIN de ON de.src = r.id)
+            WITH RECURSIVE {_lsh_reach_cte()}
             SELECT id AS doc_id, min(lbl) AS cluster_id,
                    (id = min(lbl)) AS is_keeper
             FROM reach GROUP BY id""",
+        "dedup_corpus": f"""
+            WITH RECURSIVE {_lsh_reach_cte()},
+            clusters AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+            near_losers AS (SELECT id AS doc_id FROM clusters WHERE id <> lbl),
+            ex AS (SELECT doc_id, sha256(text) AS h FROM documents),
+            exact_losers AS (
+                SELECT e.doc_id FROM ex e
+                JOIN (SELECT h, min(doc_id) AS keeper FROM ex GROUP BY h) k
+                  ON k.h = e.h
+                WHERE e.doc_id <> k.keeper)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
+              AND doc_id NOT IN (SELECT doc_id FROM exact_losers)""",
         "dataset_split": """
             SELECT doc_id,
                    CASE WHEN u < 0.9 THEN 'train'

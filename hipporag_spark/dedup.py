@@ -50,6 +50,7 @@ __all__ = [
     "jaccard_pairs",
     "embedding_neardup_pairs",
     "duplicate_clusters",
+    "dedup_corpus",
 ]
 
 
@@ -395,3 +396,40 @@ def duplicate_clusters(spark, pairs: DataFrame, mode: str = "auto") -> DataFrame
         F.col("component").alias("cluster_id"),
         (F.col("node_id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def dedup_corpus(
+    spark,
+    docs: DataFrame,
+    pairs: DataFrame,
+    mode: str = "auto",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end duplicate REMOVAL — the operator a training pipeline
+    actually runs: drop exact duplicates (content hash, keep the
+    smallest doc_id) and transitive near-duplicates (connected
+    components over the verified pair set from
+    :func:`lsh_candidate_pairs` / :func:`jaccard_pairs` /
+    :func:`embedding_neardup_pairs`, keep the cluster-minimum doc_id),
+    returning the surviving subset of ``docs`` with its full schema.
+
+    Both loser sets are independent filters over doc_id, so the result
+    is deterministic and order-free: ``docs MINUS (exact losers UNION
+    near losers)``.  Scale shape: one sha256 groupBy + the components
+    loop + two left_anti joins — no cross join, no driver
+    materialization; at 100 TB the anti-join keys are doc ids only.
+    """
+    hashed = docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha"))
+    exact = exact_duplicates(docs, text_col)  # (content_sha, keeper_id, n_dups)
+    exact_losers = (
+        hashed.join(exact.select("content_sha", "keeper_id"), "content_sha")
+        .where(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    near_losers = (
+        duplicate_clusters(spark, pairs, mode=mode)
+        .where(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    losers = exact_losers.unionByName(near_losers).distinct()
+    return docs.join(losers, "doc_id", "left_anti")

@@ -169,3 +169,29 @@ def test_embedding_neardup_lsh_mode_matches_exact(spark):
     # nested-loop form when one side is small enough to broadcast)
     ep = plan_of(exact)
     assert "CartesianProduct" in ep or "NestedLoop" in ep
+
+
+def test_dedup_corpus_removes_exact_and_transitive(spark):
+    """dedup_corpus = docs minus exact losers minus transitive near-dup
+    losers, keeping the min doc_id of every group.  Chain a~b~c with
+    jaccard(a,c) possibly below threshold must still collapse to one
+    keeper (the transitive property pairwise filters miss)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),                                    # exact dup of 0
+        (2, base.replace("kappa", "lambda")),         # near dup of 0
+        (3, base.replace("kappa", "lambda")
+               .replace("alpha", "omega")),           # near dup of 2
+        (4, "completely unrelated text about spark shuffles and joins"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dd.jaccard_pairs(docs, n=1, threshold=0.7)
+    got = sorted(r["doc_id"] for r in
+                 dd.dedup_corpus(spark, docs, pairs).collect())
+    # 1 exact-loses to 0; 2 and 3 transitively cluster with 0 (cluster
+    # min = 0) and lose; 4 survives alone
+    assert got == [0, 4], got
+    # full input schema is preserved
+    out = dd.dedup_corpus(spark, docs, pairs)
+    assert out.columns == docs.columns
