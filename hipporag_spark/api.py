@@ -130,6 +130,12 @@ class HippoService:
                     return
                 if self.path == "/index":
                     try:
+                        # type-check BEFORE list(): list("abc") silently
+                        # explodes a JSON string into per-char "documents"
+                        # that pass per-element validation (ADVICE r4 #2);
+                        # the reference's pydantic layer rejects non-lists
+                        if not isinstance(req.get("docs"), list):
+                            raise ValueError("docs must be a list of strings")
                         counts = svc.index_docs(str(req["tenant_id"]),
                                                 list(req["docs"]))
                         self._reply(200, {"code": 0, "msg": "indexed",
@@ -140,6 +146,8 @@ class HippoService:
                                           "data": {}})
                 elif self.path == "/retrieve":
                     try:
+                        if not isinstance(req.get("querys"), list):
+                            raise ValueError("querys must be a list of strings")
                         docs = svc.retrieve_docs(str(req["tenant_id"]),
                                                  list(req["querys"]))
                         self._reply(200, {"code": 0, "msg": "ok",

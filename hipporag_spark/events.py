@@ -155,11 +155,22 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
         # session's start becomes its own session, exactly as the batch
         # sessionizer would split it (ADVICE r3 item 4 — the previous
         # fold-always rule could drag session_start arbitrarily far
-        # back and merge two sessions the batch op keeps apart).  The
-        # one residual divergence from batch: a late event adjacent to
-        # a session that was ALREADY emitted in an earlier micro-batch
-        # cannot rejoin it (append mode emits once); it starts a fresh
-        # session instead — inherent to emit-on-close streaming.
+        # back and merge two sessions the batch op keeps apart).  Two
+        # residual divergences from batch, both inherent to append-mode
+        # emit-on-close streaming (state here is single-interval by
+        # design — O(1) per user):
+        #   1. a late event adjacent to a session ALREADY emitted in an
+        #      earlier micro-batch cannot rejoin it (append emits once);
+        #      it starts a fresh session instead;
+        #   2. a late event more than a gap BEFORE the open session is
+        #      emitted as a closed session IMMEDIATELY (it lands in
+        #      merged[:-1] below) rather than being held until the
+        #      watermark passes its end+gap — so an even-later event
+        #      still inside the watermark that belongs to that early
+        #      interval opens a duplicate session where batch would
+        #      merge (ADVICE r4 item 3).  Holding it would need
+        #      multi-interval state; the single-interval trade keeps
+        #      per-user state constant-size at 100 TB event volume.
         items = [tuple(int(x) for x in state.get)] if state.exists else []
         items += [(int(ts_us[i]), int(ts_us[i]), 1, int(cents[i]))
                   for i in range(len(rows))]

@@ -603,6 +603,11 @@ def _assign_blocks_distributed(spark, sym, norm, out_dir, n, n_blocks):
     full_map.write.mode("overwrite").parquet(map_path)
     parted.unpersist()
     indeg.unpersist()
+    if total_rest:
+        # full_map is on parquet now — nothing downstream reads `assigned`,
+        # and the one-time layout job must not leak cached blocks into the
+        # session (ADVICE r4 item 4)
+        assigned.unpersist()
 
     mp = spark.read.parquet(map_path)
     norm = (

@@ -60,6 +60,12 @@ class RetrievalConfig:
     # EXACT: cosine_topk_with_stats computes the per-query global
     # (min, max) from per-cell stat rows regardless of k, so the full
     # q×|P| score matrix is never materialized.  None = reference-exact.
+    # Second documented consequence (ADVICE r4 item 1): with m set, a
+    # passage outside the top-m that is also graph-unreachable from the
+    # query's fact phrases scores exactly 0 and is absent from the
+    # sparse PPR output, so retrieve() may return FEWER than
+    # retrieval_top_k rows per query (the reference's dense score
+    # vector always pads top-k with zero-score rows ordered by doc_id).
     dpr_reset_top_m: Optional[int] = None
     # pluggable fact rerank stage (reference rerank_facts,
     # HippoRAG.py:1523-1571 / rerank.py:105-131 — an LLM filter there):
@@ -198,6 +204,31 @@ class GraphRetriever:
             "query_id", F.col("key_id").alias("chunk_id"), "score_norm", "rank"
         )
 
+    def retrieve_dpr(self, queries: DataFrame) -> DataFrame:
+        """Graph-free dense-passage retrieval — the reference's
+        ``StandardRAG`` baseline (``StandardRAG.py:37-196``) and
+        ``HippoRAG.retrieve_dpr`` (``HippoRAG.py:522-592``): every query
+        is answered by ``dense_passage_retrieval`` alone
+        (``HippoRAG.py:1321-1356`` — cosine against all passages,
+        min-max normalized over the full score vector, sorted desc,
+        truncated to ``retrieval_top_k``), with no fact linking, no
+        graph, no PPR.  Same output shape as :meth:`retrieve`:
+        ``(query_id, doc_id, score, rank)``, ties pinned (score desc,
+        doc_id asc).  One distributed flow for the whole query batch —
+        the reference loops queries one at a time (``HippoRAG.py:565``).
+        """
+        qe = with_embeddings(queries, "question", dim=self.cfg.dim)
+        return (
+            self.dpr_scores(qe)
+            .where(F.col("rank") <= self.cfg.retrieval_top_k)
+            .select(
+                "query_id",
+                F.col("chunk_id").alias("doc_id"),
+                F.col("score_norm").alias("score"),
+                "rank",
+            )
+        )
+
     def retrieve(self, queries: DataFrame) -> DataFrame:
         """queries ``(query_id, question)`` → ``(query_id, doc_id, rank,
         score)`` top-``retrieval_top_k`` passages per query."""
@@ -223,10 +254,18 @@ class GraphRetriever:
         # output_nodes = the passage set → sparse PPR output (only touched
         # passage nodes), so the |V|×|Q| dense score relation the retriever
         # would immediately filter away is never shuffled (VERDICT r3
-        # "What's wrong" #2).  Identical ranking: every passage carries
-        # nonzero reset mass from the DPR part of the reset vector except
-        # at most the per-query min-max minimum, so top-k never reaches
-        # the implicit zero-score rows at any k < |passages|.
+        # "What's wrong" #2).  With the default dpr_reset_top_m=None every
+        # passage carries nonzero reset mass from the DPR part of the reset
+        # vector except at most the per-query min-max minimum, so top-k
+        # never reaches the implicit zero-score rows at any
+        # k < |passages| and the ranking is identical to the dense
+        # contract.  With dpr_reset_top_m SET, graph-unreachable passages
+        # outside the top-m have exactly zero score and are absent from
+        # the sparse output, so a query may return FEWER than
+        # retrieval_top_k rows where the reference's dense vector pads
+        # with zero-score rows ordered by doc_id (ADVICE r4 item 1) — a
+        # documented consequence of that scale hatch, see
+        # :class:`RetrievalConfig`.
         ppr_scores = personalized_pagerank_batch(
             self.spark,
             self.edges,

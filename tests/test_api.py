@@ -59,6 +59,16 @@ def test_rest_index_retrieve_roundtrip(spark, tmp_path):
                       {"tenant_id": "acme", "querys": [123]})
         assert st == 200 and r["code"] == 1002, r
 
+        # ADVICE r4 #2: a JSON *string* for docs/querys must be rejected
+        # with the 1001/1002 envelope, not exploded into per-char items
+        # (list("abc") passes per-element str validation)
+        st, r = _post(port, "/index",
+                      {"tenant_id": "acme", "docs": "not a list"})
+        assert st == 200 and r["code"] == 1001, r
+        st, r = _post(port, "/retrieve",
+                      {"tenant_id": "acme", "querys": "alpha table"})
+        assert st == 200 and r["code"] == 1002, r
+
         st, r = _post(port, "/nope", {})
         assert st == 404
 

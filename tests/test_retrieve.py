@@ -130,6 +130,32 @@ def test_retrieval_is_deterministic(spark, built):
     assert a == b
 
 
+def test_retrieve_dpr_matches_numpy_cosine(spark, built):
+    """Graph-free StandardRAG baseline (StandardRAG.py:37-196 /
+    HippoRAG.retrieve_dpr 522-592): ranking must equal plain cosine
+    against every passage, min-max normalized per query, ties pinned."""
+    r, tables_pdf, _ = built
+    qdf = spark.createDataFrame(QUERIES, "query_id string, question string")
+    got = {}
+    for row in r.retrieve_dpr(qdf).collect():
+        got.setdefault(row["query_id"], []).append(
+            (row["rank"], row["doc_id"], row["score"]))
+    chunks = tables_pdf["chunks"]
+    cvecs = np.stack([c[2] for c in chunks]).astype(np.float64)
+    cvecs /= np.linalg.norm(cvecs, axis=1, keepdims=True)
+    for qid, question in QUERIES:
+        qv = embed_batch([question], CFG.dim)[0].astype(np.float64)
+        qv /= np.linalg.norm(qv)
+        scores = _minmax(cvecs @ qv)
+        order = sorted(range(len(chunks)), key=lambda i: (-scores[i], chunks[i][0]))
+        want = [(chunks[i][0], scores[i]) for i in order[: CFG.retrieval_top_k]]
+        mine = sorted(got[qid])
+        assert len(mine) == len(want)
+        for (rank, doc_id, score), (wdoc, wscore) in zip(mine, want):
+            assert doc_id == wdoc, (qid, rank, doc_id, wdoc)
+            assert abs(score - wscore) < 1e-9
+
+
 def test_dpr_reset_top_m_covering_is_exact(spark, built):
     """With dpr_reset_top_m >= |passages| the scale hatch must be a no-op:
     identical (doc, rank) AND identical scores to the reference-exact path."""
