@@ -186,12 +186,15 @@ def personalized_pagerank_batch(
     max_iter: int = 500,
     mode: str = "auto",
     local_edge_limit: int = 2_000_000,
-    n_blocks: int | None = None,  # unused; kept for API compatibility
+    n_blocks: int | None = None,  # blocks mode: dst-block count (default cores)
     salt: int = 16,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 8,
     resume: bool = False,
     output_nodes: DataFrame | None = None,
+    blocks_edge_limit: int = 100_000_000,
+    blocks_dir: str | None = None,
+    query_chunk: int = 32,
 ) -> DataFrame:
     """Multi-query PPR: one iteration loop serves every query's superstep —
     the retrieval path runs all queries of a batch together instead of one
@@ -207,7 +210,7 @@ def personalized_pagerank_batch(
         One collect of the edge list; the (n_nodes × n_queries) rank
         matrix iterates in driver numpy.  Small-graph fast path only.
 
-    ``mode='dataframe'`` (auto above the limit — the scale path)
+    ``mode='dataframe'`` (auto between the two limits)
         Rank state is a distributed ``(query_id, node_id, rank)`` table;
         each superstep is the same salted two-stage aggregation as the
         single-query :func:`_run_dataframe`, keyed by (query_id, dst).
@@ -215,6 +218,26 @@ def personalized_pagerank_batch(
         and the batch checkpoints/resumes through
         :class:`~hipporag_spark.checkpoint.CheckpointStore` like the
         single-query modes.
+
+    ``mode='blocks'`` (auto above ``blocks_edge_limit`` symmetrized
+    edges — default 10^8, VERDICT r4 next-round #5)
+        One-time :func:`prepare_csr_blocks` layout (written under
+        ``blocks_dir``, a temp dir when None), then the CSR block kernel
+        of :func:`ppr_from_blocks` runs a RANK MATRIX superstep:
+        queries are processed ``query_chunk`` columns at a time, each
+        superstep is ONE Spark job whose tasks sweep their dst-blocks
+        once per query column (edge blocks are read once per task from
+        the worker-side cache, amortized across all columns — above the
+        threshold this is ~10× the per-superstep throughput of the
+        dataframe mode, which re-shuffles the (query_id, node_id) rank
+        table every step).  Driver memory is O(n_nodes × query_chunk)
+        floats per chunk plus the O(n_nodes) perm/dangling sidecars —
+        at 10^8 nodes the default chunk of 32 is ~26 GB, so size
+        ``query_chunk`` to the driver (see the capacity note on
+        :func:`prepare_csr_blocks`); ``mode='dataframe'`` remains the
+        no-driver-state alternative at any scale.  Checkpoint/resume is
+        not wired for this mode (use ``'dataframe'`` for resumable
+        batch jobs).
 
     ``output_nodes`` (VERDICT r3 "What's wrong" #2): the default output
     is DENSE — one row per (universe node × query), the reference's
@@ -241,7 +264,12 @@ def personalized_pagerank_batch(
         return spark.createDataFrame([], "query_id string, node_id string, score double")
     n_edges = sym.count()
     if mode == "auto":
-        mode = "local" if n_edges <= local_edge_limit else "dataframe"
+        if n_edges <= local_edge_limit:
+            mode = "local"
+        elif n_edges > blocks_edge_limit:
+            mode = "blocks"
+        else:
+            mode = "dataframe"
     if mode == "csr":  # legacy alias for the pre-round-2 driver-matrix path
         mode = "dataframe"
     store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
@@ -249,6 +277,10 @@ def personalized_pagerank_batch(
     if mode == "local":
         out = _batch_local(spark, sym, resets_c, damping, tol, max_iter,
                            output_nodes)
+    elif mode == "blocks":
+        out = _batch_blocks(spark, edges, sym, resets_c, damping, tol,
+                            max_iter, output_nodes, n_blocks, blocks_dir,
+                            query_chunk)
     else:
         out = _batch_dataframe(spark, sym, resets_c, damping, tol, max_iter,
                                salt, store, checkpoint_every, resume,
@@ -462,6 +494,205 @@ def _batch_dataframe(spark, sym, resets_c, damping, tol, max_iter,
     return out
 
 
+def _batch_blocks(spark, edges, sym, resets_c, damping, tol, max_iter,
+                  output_nodes=None, n_blocks=None, blocks_dir=None,
+                  query_chunk=32) -> DataFrame:
+    """Multi-reset CSR-blocks batch PPR (VERDICT r4 next-round #5): the
+    :func:`ppr_from_blocks` kernel generalized to a RANK MATRIX.
+
+    One-time layout: universe = edge endpoints ∪ reset nodes is densified
+    (range-partition + per-partition offsets, no single-partition window),
+    the relabeled edges go through :func:`prepare_csr_blocks` (reset-only
+    nodes are isolated ids — perm tail positions, zero out-weight, so
+    they are exact dangling vertices).  Then queries run ``query_chunk``
+    columns at a time: each superstep is ONE job whose tasks read their
+    edge blocks once (worker-side cache) and run the per-column
+    ``block_contrib`` bincount kernel for every query in the chunk — the
+    per-superstep edge I/O and scheduling cost is amortized across the
+    whole chunk, where the dataframe mode re-shuffles its
+    ``(query_id, node_id)`` rank table every superstep.
+
+    Driver capacity: O(n_nodes × query_chunk) float64 for the rank/reset
+    matrices per chunk, plus the O(n_nodes) perm/dangling sidecars — see
+    the capacity note on :func:`prepare_csr_blocks`.  Semantics are
+    identical to :func:`_batch_dataframe` (same clamp/normalize/dangling/
+    damping/L1 math; parity-tested at 1e-12 in
+    ``tests/test_ppr_batch_blocks.py``), including the sparse/dense
+    ``output_nodes`` contract.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    sc = spark.sparkContext
+    n_blocks = int(n_blocks) if n_blocks else max(sc.defaultParallelism, 8)
+
+    qsum = resets_c.groupBy("query_id").agg(F.sum("reset_weight").alias("s"))
+    bad = [r["query_id"] for r in qsum.where(F.col("s") <= 0).collect()]
+    if bad:
+        raise ValueError(f"reset vector sums to 0 for queries: {sorted(bad)}")
+
+    made_tmp = blocks_dir is None
+    if made_tmp:
+        blocks_dir = _tempfile.mkdtemp(prefix="hipporag_batch_blocks_")
+    try:
+        # ---- densify universe = endpoints ∪ reset nodes ----
+        endpoints = sym.select(F.col("src").alias("node_id")).distinct()
+        universe = endpoints.unionByName(
+            resets_c.select("node_id")).distinct()
+        n_parts = max(sc.defaultParallelism, 8)
+        parted = (
+            universe.repartitionByRange(n_parts, "node_id")
+            .sortWithinPartitions("node_id")
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
+        sizes = {r["pid"]: r["cnt"] for r in parted.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for p in sorted(sizes):
+            offsets[p] = acc
+            acc += sizes[p]
+        n = acc
+        off_df = spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "pid int, off long")
+        wp = Window.partitionBy("pid").orderBy("node_id")
+        idx = (
+            parted.withColumn("rn", F.row_number().over(wp))
+            .join(F.broadcast(off_df), "pid")
+            .select("node_id", (F.col("off") + F.col("rn") - 1).alias("idx"))
+        )
+        id_map_path = _os.path.join(blocks_dir, "batch_id_map")
+        idx.write.mode("overwrite").parquet(id_map_path)
+        parted.unpersist()
+        idx = spark.read.parquet(id_map_path)
+
+        edges_int = (
+            edges.select("src", "dst", "weight")
+            .join(idx.withColumnRenamed("node_id", "src")
+                     .withColumnRenamed("idx", "src_i"), "src")
+            .join(idx.withColumnRenamed("node_id", "dst")
+                     .withColumnRenamed("idx", "dst_i"), "dst")
+            .select(F.col("src_i").alias("src"), F.col("dst_i").alias("dst"),
+                    "weight")
+        )
+        prepare_csr_blocks(spark, edges_int, blocks_dir, n_blocks, int_ids=n)
+        ctx = _load_blocks_ctx(spark, blocks_dir, None)
+        dangling, perm = ctx["dangling"], ctx["perm"]
+        block_files, cols = ctx["block_files"], ctx["cols"]
+        loc_lens, offs_meta = ctx["loc_lens"], ctx["offs"]
+        npy_dir = ctx["npy_dir"]
+        cache_limit = int(24576 * 1024 * 1024 / max(sc.defaultParallelism, 1))
+        n_tasks = min(n_blocks, sc.defaultParallelism)
+
+        # sparse per-query reset entries with dense idx — O(Σ|reset_q|)
+        rrows = (
+            resets_c.join(qsum, "query_id")
+            .select("query_id", "node_id",
+                    (F.col("reset_weight") / F.col("s")).alias("rw"))
+            .where(F.col("rw") != 0.0)
+            .join(idx, "node_id")
+            .select("query_id", "idx", "rw")
+            .collect()
+        )
+        per_q: dict = {}
+        for r in rrows:
+            per_q.setdefault(r["query_id"], []).append((int(r["idx"]), float(r["rw"])))
+        qids = sorted(per_q)
+
+        out_idx = None
+        if output_nodes is not None:
+            out_idx = np.array(sorted(
+                int(r["idx"]) for r in
+                output_nodes.select("node_id").distinct()
+                .join(idx, "node_id").select("idx").collect()
+            ), dtype=np.int64)
+
+        out_frames: list[pd.DataFrame] = []
+        for c0 in range(0, len(qids), max(int(query_chunk), 1)):
+            chunk = qids[c0:c0 + max(int(query_chunk), 1)]
+            qc = len(chunk)
+            # reset matrix, transposed (qc, n) so each query row is
+            # C-contiguous for the kernel's np.take gather
+            RT = np.zeros((qc, n), dtype=np.float64)
+            for j, q in enumerate(chunk):
+                for i, w in per_q[q]:
+                    RT[j, i] += w
+            if perm is not None:  # original → internal numbering
+                RTi = np.zeros_like(RT)
+                RTi[:, perm] = RT
+                RT = RTi
+            ranks = RT.copy()
+            for _ in range(max_iter):
+                bc = sc.broadcast(ranks)
+
+                def step_fn(bids, _bc=bc, _files=block_files, _cols=cols,
+                            _lens=loc_lens, _lim=cache_limit, _npy=npy_dir,
+                            _bdir=blocks_dir):
+                    from hipporag_spark._worker_cache import block_contrib, get_block
+
+                    rsm = _bc.value  # (qc, n), rows contiguous
+                    for bid in bids:
+                        fs = _files.get(bid, [])
+                        if not fs:
+                            continue
+                        arrs = get_block((_bdir, bid), fs, _cols,
+                                         limit_bytes=_lim, npy_dir=_npy)
+                        si, dloc, wn = arrs[0], arrs[1], arrs[2]
+                        local = np.empty((rsm.shape[0], _lens[bid]),
+                                         dtype=np.float64)
+                        for j in range(rsm.shape[0]):
+                            local[j] = block_contrib(si, dloc, rsm[j], wn,
+                                                     _lens[bid], False)
+                        yield (bid, local)
+
+                parts = (
+                    sc.parallelize(range(n_blocks), n_tasks)
+                    .mapPartitions(step_fn).collect()
+                )
+                contrib = np.zeros((qc, n), dtype=np.float64)
+                for bid, local in parts:
+                    contrib[:, offs_meta[bid]:offs_meta[bid] + local.shape[1]] = local
+                bc.destroy()
+                dm = ranks[:, dangling].sum(axis=1)  # per-query dangling mass
+                new = (damping * (contrib + RT * dm[:, None])
+                       + (1.0 - damping) * RT)
+                delta = float(np.abs(new - ranks).sum(axis=1).max())
+                ranks = new
+                if delta < tol:
+                    break
+            scores = ranks[:, perm] if perm is not None else ranks
+            for j, q in enumerate(chunk):
+                sj = scores[j]
+                if out_idx is not None:
+                    # sparse contract: filter nodes with nonzero rank only
+                    sel = out_idx[sj[out_idx] != 0.0]
+                    out_frames.append(pd.DataFrame(
+                        {"query_id": q, "idx": sel, "score": sj[sel]}))
+                else:
+                    out_frames.append(pd.DataFrame(
+                        {"query_id": q, "idx": np.arange(n, dtype=np.int64),
+                         "score": sj}))
+
+        if not out_frames or not sum(len(f) for f in out_frames):
+            return spark.createDataFrame(
+                [], "query_id string, node_id string, score double")
+        allpdf = pd.concat(out_frames, ignore_index=True)
+        sdf = spark.createDataFrame(allpdf)
+        out = (
+            sdf.join(idx, "idx")
+            .select("query_id", "node_id", "score")
+        )
+        # the id-map parquet lives under blocks_dir — materialize before
+        # the temp layout is deleted (the result is lazy otherwise)
+        if made_tmp:
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if made_tmp:
+            _shutil.rmtree(blocks_dir, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Block-cached CSR path for throughput benchmarking / big graphs
 # --------------------------------------------------------------------------
@@ -673,6 +904,19 @@ def prepare_csr_blocks(
     This is the write-once layout a 10^12-edge deployment would keep as a
     bucketed Iceberg table: supersteps never reshuffle edges, they stream
     the co-located blocks.
+
+    **Driver-memory capacity (VERDICT r4 next-round #6).**  The blocks
+    paths keep O(V) arrays on the DRIVER: this layout's ``perm`` sidecar
+    (int64) plus, per run, the rank and reset vectors (float64) and the
+    dangling mask — ~8 bytes per node per array, so ~0.8 GB each at 10^8
+    nodes and ~8 GB each at 10^9.  With 3-4 such arrays live, a 128 GiB
+    driver is comfortable to ~10^9 nodes and runs out around 3-4×10^9;
+    the multi-reset :func:`_batch_blocks` additionally holds an
+    O(V × query_chunk) rank matrix per chunk, so divide the headroom by
+    the chunk width.  Past that, :func:`_run_dataframe` /
+    :func:`_batch_dataframe` keep ALL state distributed (the driver sees
+    only per-superstep scalar aggregates) and are the no-driver-state
+    alternative at any node count.
     """
     import json as _json
     import os as _os
@@ -896,9 +1140,12 @@ def prepare_csr_blocks(
     return meta
 
 
-def _load_blocks_ctx(spark: SparkSession, blocks_dir: str, reset_idx) -> dict:
+def _load_blocks_ctx(spark: SparkSession, blocks_dir: str,
+                     reset_idx=None) -> dict:
     """Shared setup for the block superstep paths: meta, block file map,
-    clamped+normalized reset vector, out-weight/dangling sidecar, layout."""
+    clamped+normalized reset vector (``reset_idx=None`` skips it — the
+    multi-reset batch path builds its own reset matrix), out-weight/
+    dangling sidecar, layout."""
     import glob
     import json as _json
     import os as _os
@@ -920,16 +1167,18 @@ def _load_blocks_ctx(spark: SparkSession, blocks_dir: str, reset_idx) -> dict:
         # translate back out — callers stay in the original numbering
         perm = np.load(_os.path.join(blocks_dir, "npy", "perm.npy"))
 
-    r_reset = np.asarray(reset_idx, dtype=np.float64)
-    r_reset = np.where(np.isnan(r_reset) | (r_reset < 0), 0.0, r_reset)
-    total = r_reset.sum()
-    if total <= 0:
-        raise ValueError("reset vector sums to 0 after NaN/negative clamping")
-    r_reset = r_reset / total
-    if perm is not None:
-        rr = np.empty(n, dtype=np.float64)
-        rr[perm] = r_reset
-        r_reset = rr
+    r_reset = None
+    if reset_idx is not None:
+        r_reset = np.asarray(reset_idx, dtype=np.float64)
+        r_reset = np.where(np.isnan(r_reset) | (r_reset < 0), 0.0, r_reset)
+        total = r_reset.sum()
+        if total <= 0:
+            raise ValueError("reset vector sums to 0 after NaN/negative clamping")
+        r_reset = r_reset / total
+        if perm is not None:
+            rr = np.empty(n, dtype=np.float64)
+            rr[perm] = r_reset
+            r_reset = rr
 
     # out-weight sidecar: dangling mask + (unit-weight layout) the 1/out_w
     # vector the kernel folds into the gather.  Driver-materialized — fine

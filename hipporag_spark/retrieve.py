@@ -67,6 +67,14 @@ class RetrievalConfig:
     # retrieval_top_k rows per query (the reference's dense score
     # vector always pads top-k with zero-score rows ordered by doc_id).
     dpr_reset_top_m: Optional[int] = None
+    # Dense PPR output contract: when True, retrieve() asks batch PPR for
+    # the reference's dense score relation (a row for EVERY universe node
+    # per query, HippoRAG.py:1600-1613) instead of the sparse passage-set
+    # filter.  Identical ranking with dpr_reset_top_m=None (see
+    # retrieve()); exists as the reference contract and as the bench's
+    # same-episode sparse-vs-dense A/B arm (VERDICT r4 next-round #1).
+    # At scale the dense relation is a |V|×|Q| shuffle — keep False.
+    dense_ppr_output: bool = False
     # pluggable fact rerank stage (reference rerank_facts,
     # HippoRAG.py:1523-1571 / rerank.py:105-131 — an LLM filter there):
     # receives the per-query normalized fact candidates
@@ -273,11 +281,16 @@ class GraphRetriever:
             damping=cfg.damping,
             tol=cfg.tol,
             mode=cfg.ppr_mode,
-            output_nodes=chunk_ids,
+            output_nodes=None if cfg.dense_ppr_output else chunk_ids,
         )
         doc_scores = ppr_scores.select(
             "query_id", F.col("node_id").alias("doc_id"), "score"
         )
+        if cfg.dense_ppr_output:
+            # dense mode returns every universe node — keep passages only
+            doc_scores = doc_scores.join(
+                chunk_ids.select(F.col("node_id").alias("doc_id")), "doc_id"
+            )
         wnd = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         graph_ranked = (
             doc_scores.withColumn("rank", F.row_number().over(wnd))

@@ -156,6 +156,30 @@ def test_retrieve_dpr_matches_numpy_cosine(spark, built):
             assert abs(score - wscore) < 1e-9
 
 
+def test_dense_ppr_output_matches_sparse(spark, built):
+    """dense_ppr_output=True (the reference's |V|×|Q| dense contract /
+    the bench A/B arm) must produce identical (doc, rank, score) to the
+    default sparse passage-set filter when dpr_reset_top_m is None."""
+    r, _, _ = built
+    import dataclasses
+
+    qdf = spark.createDataFrame(QUERIES, "query_id string, question string")
+    base = {(x["query_id"], x["rank"]): (x["doc_id"], x["score"])
+            for x in r.retrieve(qdf).collect()}
+    old = r.cfg
+    try:
+        r.cfg = dataclasses.replace(CFG, dense_ppr_output=True)
+        dense = {(x["query_id"], x["rank"]): (x["doc_id"], x["score"])
+                 for x in r.retrieve(qdf).collect()}
+    finally:
+        r.cfg = old
+    assert base.keys() == dense.keys()
+    for key, (doc, score) in base.items():
+        ddoc, dscore = dense[key]
+        assert doc == ddoc
+        assert abs(score - dscore) < 1e-12
+
+
 def test_dpr_reset_top_m_covering_is_exact(spark, built):
     """With dpr_reset_top_m >= |passages| the scale hatch must be a no-op:
     identical (doc, rank) AND identical scores to the reference-exact path."""
