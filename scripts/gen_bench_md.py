@@ -90,12 +90,24 @@ def render(rec: dict, prev_queries: dict | None) -> str:
         ]
     inc = rec.get("incremental_index")
     if inc:
+        ratio = inc.get("large_over_small", 9)
+        if ratio <= 1.15:
+            note = "flat ⇒ work bounded by batch, not store size"
+        else:
+            # honesty guard: don't caption a non-flat median as flat —
+            # surface the per-sweep walls so the reader can see whether
+            # the spread is an episode or a real store-size dependence
+            note = (f"above flat; per-sweep walls small="
+                    f"{inc.get('batch_walls_small')} large="
+                    f"{inc.get('batch_walls_large')} — if the large-store "
+                    f"minimum matches the small-store walls the elevated "
+                    f"sweeps are episode interference, not store-size cost")
         lines += [
             f"**Incremental index** (O(batch) evidence): ~{inc.get('batch_docs')}-doc "
             f"batch into a {inc.get('store_small_docs')}-doc store "
             f"{inc.get('batch_wall_small')} s vs a {inc.get('store_large_docs')}-doc "
             f"store {inc.get('batch_wall_large')} s — ratio "
-            f"**{inc.get('large_over_small')}** (flat ⇒ work bounded by batch).",
+            f"**{inc.get('large_over_small')}** ({note}).",
             "",
         ]
     ab = rec.get("retrieve_ab")
