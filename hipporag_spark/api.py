@@ -78,7 +78,13 @@ class HippoService:
 
     def retrieve_docs(self, tenant_id: str, querys: list[str]) -> list[list[str]]:
         """Passage texts per query, rank order, query order preserved —
-        the reference's ``[r.docs for r in results]`` shape."""
+        the reference's ``[r.docs for r in results]`` shape.
+
+        The ``collect()`` below is bounded by ``top_k × len(querys)``
+        rows — the size of the HTTP response itself — so it cannot grow
+        with corpus size.  Any future bulk/export endpoint must paginate
+        (e.g. ``toLocalIterator`` or a sink write) instead of widening
+        this collect."""
         if not querys:
             return []
         if not all(isinstance(q, str) for q in querys):
