@@ -50,8 +50,9 @@ def render(rec: dict, prev_queries: dict | None) -> str:
     if q:
         total = rec.get("value")
         sweeps = rec.get("headline_sweeps")
+        burn = " after 1 discarded burn-in sweep" if rec.get("headline_burn_in") else ""
         lines += [f"**Headline suite** (sf{rec.get('sf')}, medians of "
-                  f"{sweeps} sweeps): total **{total} s**"
+                  f"{sweeps} sweeps{burn}): total **{total} s**"
                   + (f" (round-4 driver record `BENCH_r04.json`: "
                      f"{round(sum(prev_queries.values()), 3)} s)"
                      if prev_queries else "") + ".",
@@ -112,17 +113,31 @@ def render(rec: dict, prev_queries: dict | None) -> str:
         ]
     ab = rec.get("retrieve_ab")
     if ab:
-        # ±10-20% between arms is normal episode noise at sf0.1 (both
-        # arms are a few seconds; single pairs have recorded 42 s
-        # interference spikes); the r4-regression question is whether
+        # caption derives from the pair DATA, not a fixed sentence
+        # (VERDICT r4's whole complaint was doc/record drift): the
+        # interleaved pairs already control for episodes, so a
+        # CONSISTENT sign across pairs is a real (small) delta, while a
+        # mixed sign is noise.  The r4-regression question is whether
         # sparse costs anything like the +30% the official record
-        # showed, so the investigate line sits at 1.25
-        if ab.get("sparse_over_dense", 9) <= 1.25:
-            verdict = ("sparse ≈ dense within episode noise — the r4 +30% "
-                       "was the episode, not the sparse path; sparse stays "
-                       "the default (output O(top-k·|Q|), not O(|V|·|Q|))")
-        else:
+        # showed, so the investigate line sits at 1.25.
+        ratio = ab.get("sparse_over_dense", 9)
+        pairs = ab.get("pairs", [])
+        n_slower = sum(1 for p in pairs if p.get("sparse", 0) > p.get("dense", 0))
+        tail = ("; sparse stays the default (output O(top-k·|Q|), "
+                "not O(|V|·|Q|) — the asymptotic win at scale)")
+        if ratio > 1.25:
             verdict = "sparse slower beyond noise — investigate"
+        elif pairs and n_slower == len(pairs) and ratio > 1.03:
+            worst = max(round(p["sparse"] / p["dense"], 3) for p in pairs
+                        if p.get("dense"))
+            verdict = (f"sparse consistently carries a small constant "
+                       f"overhead at this scale (all {len(pairs)} pairs "
+                       f"slower, worst {worst}×) — the passage-set "
+                       f"semi-join; far below the +30% r4 question"
+                       + tail)
+        else:
+            verdict = ("sparse ≈ dense within episode noise — the r4 +30% "
+                       "was the episode, not the sparse path" + tail)
         lines += [
             f"**Retrieve sparse-vs-dense A/B** (same episode, interleaved, "
             f"warm graph): sparse {ab.get('sparse_sec')} s, dense "
