@@ -262,8 +262,11 @@ def personalized_pagerank_batch(
     if resets_c.isEmpty():  # no queries (e.g. rerank dropped every fact)
         sym.unpersist()
         return spark.createDataFrame([], "query_id string, node_id string, score double")
-    n_edges = sym.count()
     if mode == "auto":
+        # only auto needs the edge count; a pinned mode (e.g. the retrieve
+        # gate's mode='dataframe') must not pay an extra pass over sym —
+        # persist-materialization happens lazily at the first superstep
+        n_edges = sym.count()
         if n_edges <= local_edge_limit:
             mode = "local"
         elif n_edges > blocks_edge_limit:
