@@ -33,6 +33,7 @@ from hipporag_spark.extract import make_chunks, chunk_tokens, extract_all
 from hipporag_spark import dedup as dd
 from hipporag_spark import textstats as ts
 from hipporag_spark import curation as cur
+from hipporag_spark import llmjson as lj
 from hipporag_spark import events as ev
 from hipporag_spark import similarity as sim
 from hipporag_spark.graph import build_graph
@@ -336,6 +337,63 @@ def q_fingerprints(spark, sf_dir):
 
 def q_pii_scrub(spark, sf_dir):
     return ts.pii_scrub(_docs(spark, sf_dir))
+
+
+# P9 gates: a deterministic synthetic LLM-response table over documents —
+# per doc a JSON answer wrapped in prose; doc_id%4==0 rows are truncated
+# mid-generation (finish_reason='length', exercising the blind-last-comma
+# + brace-closing repair of llm_utils.py:146-215), doc_id%4==1 rows have
+# no JSON at all (the empty-list failure contract).  The oracle states the
+# reference-algorithm OUTCOME per branch, so the gate checks the repair
+# and extraction semantics end to end, not a reimplementation of them.
+def q_llm_entities(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    t = [F.concat(F.lit(f"tok{i}_"), h) for i in (1, 2, 3, 4)]
+    full = F.concat(
+        F.lit('Sure! {"named_entities": ["'), t[0], F.lit('", "'), t[1],
+        F.lit('", "'), t[2], F.lit('", "'), t[3], F.lit('"]} -- done'))
+    trunc = F.concat(
+        F.lit('Sure! {"named_entities": ["'), t[0], F.lit('", "'), t[1],
+        F.lit('", "to'))
+    b = F.col("doc_id") % 4
+    resp = (F.when(b == 0, trunc)
+            .when(b == 1, F.lit("I found no entities in this passage."))
+            .otherwise(full))
+    fin = F.when(b == 0, F.lit("length")).otherwise(F.lit("stop"))
+    rdf = docs.select("doc_id", resp.alias("response"),
+                      fin.alias("finish_reason"))
+    out = lj.extract_entities_json(rdf, "response", "finish_reason")
+    return out.select("doc_id", F.explode("named_entities").alias("entity"))
+
+
+def q_llm_triples(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    s1, o1 = F.concat(F.lit("s_"), h), F.concat(F.lit("o_"), h)
+    s2, o2 = F.concat(F.lit("x_"), h), F.concat(F.lit("y_"), h)
+    t1 = F.concat(F.lit('["'), s1, F.lit('", "rel", "'), o1, F.lit('"]'))
+    t2 = F.concat(F.lit('["'), s2, F.lit('", "rel2", "'), o2, F.lit('"]'))
+    # full: arity-1 junk triple + a duplicate of t1 (filter + dedup);
+    # trunc: cut mid-third-triple, so the blind-comma repair leaves an
+    # arity-1 remnant the validity filter must then drop
+    full = F.concat(F.lit('{"triples": ['), t1, F.lit(", "), t2,
+                    F.lit(', ["bad"], '), t1, F.lit("]}"))
+    trunc = F.concat(F.lit('{"triples": ['), t1, F.lit(", "), t2,
+                     F.lit(', ["'), s1, F.lit('", "re'))
+    b = F.col("doc_id") % 4
+    resp = (F.when(b == 0, trunc)
+            .when(b == 1, F.lit("no triples extracted"))
+            .otherwise(full))
+    fin = F.when(b == 0, F.lit("length")).otherwise(F.lit("stop"))
+    rdf = docs.select("doc_id", resp.alias("response"),
+                      fin.alias("finish_reason"))
+    out = lj.extract_triples_json(rdf, "response", "finish_reason")
+    ex = out.select("doc_id", F.explode("triples").alias("t"))
+    return ex.select("doc_id",
+                     F.col("t")[0].alias("subject"),
+                     F.col("t")[1].alias("predicate"),
+                     F.col("t")[2].alias("object"))
 
 
 # the benchmark/eval set for the decontamination gate: a deterministic
@@ -705,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "pii_scrub": q_pii_scrub,
+        "llm_entities": q_llm_entities,
+        "llm_triples": q_llm_triples,
         "repetition": q_repetition,
         "decontam": q_decontam,
         "strat_sample": q_strat_sample,
@@ -1605,6 +1665,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.doc_id, sha256(q.text) AS content_sha, g.mg AS min_shingle_hash
             FROM qarr q LEFT JOIN g ON g.doc_id = q.doc_id""",
         "pii_scrub": _pii_oracle(),
+        # P9 — oracle states the reference-algorithm outcome per branch:
+        # b=0 truncated+repaired keeps the first two entities / first two
+        # triples, b=1 has no JSON (no rows), the rest parse fully
+        "llm_entities": """
+            WITH d AS (SELECT doc_id, doc_id % 4 AS b,
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+                       FROM documents),
+            e AS (SELECT doc_id,
+                         CASE WHEN b = 0
+                              THEN ['tok1_' || h, 'tok2_' || h]
+                              ELSE ['tok1_' || h, 'tok2_' || h,
+                                    'tok3_' || h, 'tok4_' || h]
+                         END AS ents
+                  FROM d WHERE b <> 1)
+            SELECT doc_id, unnest(ents) AS entity FROM e""",
+        "llm_triples": """
+            WITH d AS (SELECT doc_id,
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+                       FROM documents WHERE doc_id % 4 <> 1)
+            SELECT doc_id, 's_' || h AS subject, 'rel' AS predicate,
+                   'o_' || h AS object FROM d
+            UNION ALL
+            SELECT doc_id, 'x_' || h, 'rel2', 'y_' || h FROM d""",
         "decontam": f"""
             WITH {_DARR}, {_shingle_cte(5)},
             bg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
