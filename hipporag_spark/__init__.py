@@ -13,6 +13,7 @@ Layout
 - :mod:`hipporag_spark.session`     Spark session factory (local or cluster)
 - :mod:`hipporag_spark.corpus`      source-code corpus synthesis / derivation
 - :mod:`hipporag_spark.extract`     chunking + deterministic entity/fact extraction
+- :mod:`hipporag_spark.llmjson`     LLM-output JSON extraction + truncation repair
 - :mod:`hipporag_spark.graph`       edge-table construction (HippoRAG §1.4 semantics)
 - :mod:`hipporag_spark.ppr`         distributed Personalized PageRank
 - :mod:`hipporag_spark.components`  connected components (min-label propagation)
@@ -35,6 +36,11 @@ __version__ = "0.1.0"
 from .session import get_spark  # noqa: E402
 from .corpus import corpus_from_documents, synthesize_corpus  # noqa: E402
 from .extract import extract_all  # noqa: E402
+from .llmjson import (  # noqa: E402
+    extract_entities_json,
+    extract_triples_json,
+    fix_broken_generated_json,
+)
 from .graph import build_graph, symmetrize  # noqa: E402
 from .ppr import (  # noqa: E402
     pagerank,
@@ -56,6 +62,8 @@ from .streaming import corpus_stream, stream_index  # noqa: E402
 __all__ = [
     "get_spark",
     "corpus_from_documents", "synthesize_corpus", "extract_all",
+    "extract_entities_json", "extract_triples_json",
+    "fix_broken_generated_json",
     "build_graph", "symmetrize",
     "pagerank", "personalized_pagerank", "personalized_pagerank_batch",
     "ppr_from_blocks", "ppr_from_blocks_batched", "prepare_csr_blocks",
