@@ -40,6 +40,7 @@ from .llmjson import (  # noqa: E402
     extract_entities_json,
     extract_triples_json,
     fix_broken_generated_json,
+    tables_from_llm_responses,
 )
 from .graph import build_graph, symmetrize  # noqa: E402
 from .ppr import (  # noqa: E402
@@ -63,7 +64,7 @@ __all__ = [
     "get_spark",
     "corpus_from_documents", "synthesize_corpus", "extract_all",
     "extract_entities_json", "extract_triples_json",
-    "fix_broken_generated_json",
+    "fix_broken_generated_json", "tables_from_llm_responses",
     "build_graph", "symmetrize",
     "pagerank", "personalized_pagerank", "personalized_pagerank_batch",
     "ppr_from_blocks", "ppr_from_blocks_batched", "prepare_csr_blocks",

@@ -214,3 +214,57 @@ def extract_triples_json(
     trips = F.coalesce(fast, fb, F.array().cast("array<array<string>>"))
     valid = F.filter(trips, lambda t: F.size(t) == 3)
     return df.withColumn(out_col, F.array_distinct(valid))
+
+
+def tables_from_llm_responses(
+    chunks: DataFrame,
+    triple_responses: DataFrame,
+    response_col: str = "response",
+    finish_reason_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """LLM-backed variant of ``extract_all`` — the reference's actual
+    ``index()`` pipeline (``HippoRAG.py:215-268``) for users who DO run
+    an LLM OpenIE stage: raw per-chunk triple responses → parsed/repaired
+    triples (this module) → ``text_processing`` on every element
+    (``misc_utils.py:54-61``, our ``normalize_text``) → the same five
+    tables ``extract_all`` produces, consumable by ``build_graph`` and
+    ``HippoIndex`` unchanged.
+
+    Ordering is the reference's: arity-filter + dedup happen on the RAW
+    triples (``filter_invalid_triples``, inside
+    :func:`extract_triples_json`) and normalization comes AFTER, so
+    triples that collide only post-normalization are kept as separate
+    rows — ``fact_edges``'s row count per (subject, object) then
+    reproduces ``add_fact_edges``'s ``node_to_node_stats += 1`` per
+    triple exactly (``HippoRAG.py:758-766``).  Entity nodes are the
+    subjects and objects of the surviving triples
+    (``extract_entity_nodes``, ``misc_utils.py:86-97``), including ones
+    that normalize to ``""`` — the reference hashes those too.
+
+    ``triple_responses`` must carry ``chunk_id`` plus the response
+    column; all plumbing is Catalyst (the only Python is the NULL-gated
+    repair/fallback inside :func:`extract_triples_json`).
+    """
+    from .extract import make_entities, make_membership, normalize_text
+
+    parsed = extract_triples_json(
+        triple_responses, response_col, finish_reason_col)
+    ex = parsed.select("chunk_id", F.explode("triples").alias("t"))
+    facts = ex.select(
+        "chunk_id",
+        normalize_text(F.col("t")[0]).alias("subject"),
+        normalize_text(F.col("t")[1]).alias("predicate"),
+        normalize_text(F.col("t")[2]).alias("object"),
+    )
+    tokens = (
+        facts.select("chunk_id", F.col("subject").alias("token"))
+        .unionByName(facts.select("chunk_id", F.col("object").alias("token")))
+        .distinct()
+    )
+    return {
+        "chunks": chunks,
+        "tokens": tokens,
+        "entities": make_entities(tokens),
+        "membership": make_membership(tokens),
+        "facts": facts,
+    }
