@@ -68,6 +68,42 @@ def test_fix_nested_arrays():
             == '{"triples": [["a", "b", "c"], ["d"]]}')
 
 
+def test_fix_properties_hypothesis():
+    """Two reference-semantics invariants over generated inputs:
+    valid JSON passes through unchanged, and any truncation of a
+    serialized nested-int-array document whose prefix still contains a
+    comma repairs to valid JSON — in this grammar a comma only ever
+    follows a COMPLETE value, so the blind last-comma cut always lands
+    on an element boundary.  (Without a comma the reference algorithm
+    genuinely leaves partial tokens behind — fix('[[-') == '[[-]]' —
+    which the extraction layer maps to an empty list; hypothesis found
+    that counterexample when this property was stated too strongly.)"""
+    import json
+
+    from hypothesis import assume, given, settings, strategies as st
+
+    nested = st.recursive(
+        st.integers(-999, 999),
+        lambda c: st.lists(c, max_size=4), max_leaves=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(nested)
+    def valid_passthrough(doc):
+        s = json.dumps(doc)
+        assert fix_broken_generated_json(s) == s
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(nested, min_size=1, max_size=5), st.data())
+    def truncation_repairs(doc, data):
+        s = json.dumps(doc)
+        k = data.draw(st.integers(1, len(s)))
+        assume("," in s[:k])
+        json.loads(fix_broken_generated_json(s[:k]))  # must not raise
+
+    valid_passthrough()
+    truncation_repairs()
+
+
 # ------------------------------------------------------------- entities
 
 def _ents(spark, rows):
