@@ -702,6 +702,43 @@ def measure_levels(blocks_dir: str, levels=(2, 8, 32),
         for c in ctl_levels
     }
     out["burn_in"] = "1 discarded sweep per level before the recorded sweeps"
+    # SUPPLEMENTARY floor estimator (does not touch the gate basis): the
+    # per-sweep min-of-steps.  Run-11 per-step walls showed clean episodes
+    # toggle between a ~130ms and a ~190ms host mode at 32-way — in BOTH
+    # the Spark path and the bare-kernel control — so a 9-step median
+    # samples whichever mode dominated, swinging paired ratios ±0.2 while
+    # the per-step floor stays within ±1% across sweeps.  Floor-to-floor
+    # compares the two paths' capability with the mode luck removed; the
+    # raw per-step walls ship alongside so a reader can recompute either.
+    def _floor(step_lists, skip=0):
+        return [min(s[skip:]) for s in step_lists]
+
+    spark_fl = {c: _floor([r["step_ms"] for r in runs[c]]) for c in levels}
+    ctl_fl = {c: _floor([r["step_ms"] for r in ctls[c]], skip=2)
+              for c in ctl_levels}
+    out["floor"] = {"basis": ("per-sweep min of per-superstep walls "
+                              "(capability floor; host-mode toggling "
+                              "cancels — see sweep_step_ms)")}
+    for flo, fhi in zip(levels, levels[1:]):
+        fr = [spark_fl[flo][s] / ((fhi / flo) * spark_fl[fhi][s])
+              for s in range(sweeps)]
+        out["floor"][f"{flo}_to_{fhi}"] = {
+            "per_sweep": [round(r, 3) for r in fr],
+            "median": round(float(np.median(fr)), 3),
+        }
+    ctl_fr = [ctl_fl[lo][s] / ((hi / lo) * ctl_fl[hi][s])
+              for s in range(sweeps)]
+    spark_fr = [spark_fl[lo][s] / ((hi / lo) * spark_fl[hi][s])
+                for s in range(sweeps)]
+    fdeltas = [s - c for s, c in zip(spark_fr, ctl_fr)]
+    out["floor"]["ctl_8_32"] = {
+        "per_sweep": [round(r, 3) for r in ctl_fr],
+        "median": round(float(np.median(ctl_fr)), 3),
+    }
+    out["floor"]["delta_vs_ceiling"] = {
+        "per_sweep": [round(d, 3) for d in fdeltas],
+        "median": round(float(np.median(fdeltas)), 3),
+    }
     out["ctl"]["pair"] = f"{lo}_to_{hi}"
     out["ctl"]["efficiency_per_sweep"] = [round(r, 3) for r in ctl_ratios]
     out["ctl"]["efficiency"] = round(float(np.median(ctl_ratios)), 3)
@@ -743,6 +780,10 @@ def compact_record(out: dict) -> dict:
             "spark_efficiency_vs_ceiling": ps["spark_efficiency_vs_ceiling"],
             "gate_pass": ps["gate_pass"],
         }
+        fl = ps.get("efficiency_floor") or {}
+        if fl.get("8_to_32"):
+            c["ppr_scaling"]["floor_8_32"] = fl["8_to_32"]["median"]
+            c["ppr_scaling"]["floor_delta"] = fl["delta_vs_ceiling"]["median"]
     if "incremental_index" in out:
         c["incremental_index"] = {
             k: v for k, v in out["incremental_index"].items()
@@ -838,6 +879,8 @@ def main():
             "efficiency_2_to_8_level_medians": round(eff_2_8, 3),
             "efficiency_8_to_32_level_medians": round(eff_8_32, 3),
             "paired_sweep_ratios": best["paired"],
+            # supplementary floor estimator (gate basis unchanged)
+            "efficiency_floor": best["floor"],
             # medians across interleaved sweeps (per-sweep values inside
             # each level); superstep walls are in-job time — scheduler
             # job-launch latency is excluded, as it amortizes over the

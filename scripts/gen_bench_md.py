@@ -87,8 +87,18 @@ def render(rec: dict, prev_queries: dict | None) -> str:
             f", same-sweep delta {ps.get('spark_efficiency_vs_ceiling')}",
             f"- gate (≥0.8 paired 8→32 OR delta ≥ −0.05): "
             f"**{'PASS' if ps.get('gate_pass') else 'FAIL'}**",
-            "",
         ]
+        fl = ps.get("efficiency_floor") or {}
+        if fl.get("8_to_32"):
+            lines.append(
+                f"- supplementary floor estimator (per-sweep min-of-steps; "
+                f"host-mode toggling cancels): 2→8 "
+                f"**{(fl.get('2_to_8') or {}).get('median')}**, 8→32 "
+                f"**{fl['8_to_32']['median']}** vs ctl floor "
+                f"{(fl.get('ctl_8_32') or {}).get('median')} (delta "
+                f"{(fl.get('delta_vs_ceiling') or {}).get('median')}) — "
+                f"not a gate input; raw per-step walls in the record")
+        lines.append("")
     inc = rec.get("incremental_index")
     if inc:
         ratio = inc.get("large_over_small", 9)
