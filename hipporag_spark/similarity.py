@@ -85,14 +85,33 @@ def train_centroids(
     n_centroids: int = 16,
     iters: int = 3,
     seed: int = 7,
+    local_train_limit: int = 200_000,
 ) -> DataFrame:
     """Deterministic spherical k-means centroids ``(centroid_id, centroid)``.
 
     Init: the ``n_centroids`` vectors whose ``md5(vec_id || seed)`` is
-    smallest (a seeded deterministic sample, no RNG state on executors).
-    Each Lloyd iteration = one broadcast join + one groupBy (vector mean
-    via elementwise ``array`` aggregation in pandas on the driver — the
-    centroid table is tiny; assignment stays distributed).
+    smallest (a seeded deterministic sample, no RNG state on executors);
+    seed selection is always the distributed md5 top-k so it is identical
+    across both Lloyd strategies below.
+
+    Two Lloyd strategies, size-routed like every other local fast path in
+    this engine (``local_edge_limit`` in :mod:`hipporag_spark.ppr` etc.):
+
+    - **distributed** (default above ``local_train_limit`` key rows):
+      each iteration = one broadcast join + one groupBy (vector mean via
+      elementwise aggregation; assignment stays distributed).  This is
+      the 100 TB path — the key table is never collected.
+    - **driver-numpy** (at or below the limit): embeddings are collected
+      ONCE and the Lloyd loop runs as vectorized numpy (cosine argmax
+      with the same (csim desc, centroid_id asc) tie-break — ``argmax``
+      returns the first maximum — and per-cluster mean of the raw
+      float64-cast vectors, empty / zero-norm clusters keeping their
+      previous centroid, exactly the distributed semantics).  Centroids
+      agree with the distributed path to fp summation order (parity test
+      at 1e-9 in ``tests/test_similarity.py``); k-means over ≤200k×dim
+      float64 is driver-trivial (≤~100 MB at dim 64) and skips
+      ``iters``+1 tiny Spark jobs whose cost is pure plan/schedule
+      overhead at this size.
     """
     seeds = (
         keys.select("vec_id", "embedding")
@@ -104,6 +123,35 @@ def train_centroids(
     )
     cent = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    # limit-probe, not count(): on a 100 TB key table this reads only
+    # until local_train_limit+1 rows exist, never the full table
+    if local_train_limit > 0 and (
+        keys.limit(local_train_limit + 1).count() <= local_train_limit
+    ):
+        vecs = np.stack(
+            keys.select("embedding").toPandas()["embedding"].to_numpy()
+        ).astype(np.float64)
+        vnorm = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+        vunit = vecs / vnorm
+        for _ in range(iters):
+            # cent rows are unit-norm (or kept-previous unit vectors), so
+            # cosine = vunit @ cent.T up to the distributed path's
+            # explicit |c| division; divide anyway to match degenerate
+            # non-unit kept-previous centroids bit-for-bit in intent
+            cnorm = np.maximum(np.linalg.norm(cent, axis=1), 1e-300)
+            sims = (vunit @ cent.T) / cnorm[None, :]
+            a = np.argmax(sims, axis=1)  # first max == lowest centroid_id
+            new = cent.copy()
+            for j in range(n_centroids):
+                mask = a == j
+                if mask.any():
+                    v = vecs[mask].mean(axis=0)
+                    nrm = np.linalg.norm(v)
+                    if nrm > 0:
+                        new[j] = v / nrm
+            cent = new
+        return _centroid_df(spark, cent)
 
     for _ in range(iters):
         cdf = _centroid_df(spark, cent)
@@ -238,6 +286,12 @@ def build_ivf_index(
 
     cents = train_centroids(spark, keys, n_centroids, iters, seed)
     assigned = _assign(keys, cents)
+    # cluster rows by bucket before the partitionBy write: without this,
+    # every input partition writes a sliver file into every centroid_id
+    # directory (n_input × n_centroids small files — at 1000 executors,
+    # millions); after it each bucket is one-or-few contiguous files,
+    # which is also what the probe-side partition-pruned scan wants
+    assigned = assigned.repartition(n_centroids, "centroid_id")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         os.path.join(out_dir, "keys"))
     cents.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))

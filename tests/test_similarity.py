@@ -78,6 +78,30 @@ def test_ivf_scores_are_exact_within_probed(spark, emb, exact):
             assert r.cos == pytest.approx(ex.loc[(r.query_id, r.vec_id)], abs=1e-12)
 
 
+def test_local_train_parity_with_distributed(spark, emb):
+    """The driver-numpy Lloyd fast path (keys ≤ local_train_limit) must
+    agree with the distributed DataFrame Lloyd loop: same seeds (both use
+    the distributed md5 top-k), centroids equal to fp summation order,
+    and — the property the IVF layout actually depends on — identical
+    bucket assignments."""
+    keys = emb.select("vec_id", "embedding")
+    local = sim.train_centroids(spark, keys, n_centroids=8)  # N=300 ≤ limit
+    dist = sim.train_centroids(spark, keys, n_centroids=8, local_train_limit=0)
+
+    lp = local.orderBy("centroid_id").toPandas()
+    dp = dist.orderBy("centroid_id").toPandas()
+    lc = np.stack(lp["centroid"].to_numpy())
+    dc = np.stack(dp["centroid"].to_numpy())
+    assert lc.shape == dc.shape == (8, DIM)
+    np.testing.assert_allclose(lc, dc, atol=1e-9)
+
+    la = {r["vec_id"]: r["centroid_id"]
+          for r in sim._assign(keys, local).collect()}
+    da = {r["vec_id"]: r["centroid_id"]
+          for r in sim._assign(keys, dist).collect()}
+    assert la == da
+
+
 def test_persisted_ivf_index_matches_inline(spark, tmp_path):
     """build_ivf_index + ivf_topk_from_index ≡ ivf_topk with the same
     trained centroids — the persisted layout changes the physical scan
