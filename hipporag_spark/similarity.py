@@ -143,7 +143,8 @@ def train_centroids(
             sims = (vunit @ cent.T) / cnorm[None, :]
             a = np.argmax(sims, axis=1)  # first max == lowest centroid_id
             new = cent.copy()
-            for j in range(n_centroids):
+            # len(cent) may be < n_centroids when the key table is tiny
+            for j in range(len(cent)):
                 mask = a == j
                 if mask.any():
                     v = vecs[mask].mean(axis=0)
