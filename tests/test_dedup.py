@@ -195,3 +195,73 @@ def test_dedup_corpus_removes_exact_and_transitive(spark):
     # full input schema is preserved
     out = dd.dedup_corpus(spark, docs, pairs)
     assert out.columns == docs.columns
+
+
+def test_lsh_pairs_match_python_mirror_randomized(spark):
+    """Seeded randomized sweep: lsh_candidate_pairs over random shingle
+    tables must equal an exact Python mirror of the same banded-MinHash
+    scheme (same keyed md5 per permutation, same band keys, same
+    [2, max_bucket] bucket filter, same exact-Jaccard verification) —
+    the same sweep discipline the LPA randomized test uses."""
+    import hashlib
+    import itertools
+    import random
+
+    def mirror(shingle_sets, num_perm, bands, threshold, max_bucket):
+        rows_per_band = num_perm // bands
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+        sig = {
+            d: [min(md5(f"{j}:{s}") for s in ss) for j in range(num_perm)]
+            for d, ss in shingle_sets.items() if ss
+        }
+        buckets = {}
+        for d, mh in sig.items():
+            for b in range(bands):
+                key = (b, md5("|".join(mh[b * rows_per_band:(b + 1) * rows_per_band])))
+                buckets.setdefault(key, []).append(d)
+        cand = set()
+        for members in buckets.values():
+            if 2 <= len(members) <= max_bucket:
+                for x, y in itertools.combinations(sorted(members), 2):
+                    cand.add((x, y))
+        out = {}
+        for x, y in cand:
+            a, b = shingle_sets[x], shingle_sets[y]
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                out[(x, y)] = j
+        return out
+
+    rng = random.Random(1234)
+    universe = [f"tok{i}" for i in range(40)]
+    for case in range(4):
+        num_perm, bands = rng.choice([(8, 4), (12, 3), (8, 2)])
+        threshold = rng.choice([0.3, 0.5, 0.7])
+        n_docs = rng.randint(8, 16)
+        shingle_sets = {}
+        base = set(rng.sample(universe, rng.randint(5, 12)))
+        for d in range(n_docs):
+            if rng.random() < 0.5:  # perturbed copy of base → collisions
+                ss = set(base)
+                for _ in range(rng.randint(0, 3)):
+                    if rng.random() < 0.5 and len(ss) > 2:
+                        ss.discard(rng.choice(sorted(ss)))
+                    else:
+                        ss.add(rng.choice(universe))
+            else:
+                ss = set(rng.sample(universe, rng.randint(3, 12)))
+            shingle_sets[d] = ss
+        sdf = spark.createDataFrame(
+            [(d, s) for d, ss in shingle_sets.items() for s in ss],
+            "doc_id long, shingle string",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dd.lsh_candidate_pairs(
+                sdf, num_perm=num_perm, bands=bands, threshold=threshold
+            ).collect()
+        }
+        want = mirror(shingle_sets, num_perm, bands, threshold, 50)
+        assert set(got) == set(want), (case, set(got) ^ set(want))
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12, (case, k)
