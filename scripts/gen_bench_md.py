@@ -155,6 +155,19 @@ def render(rec: dict, prev_queries: dict | None) -> str:
             f"**{ab.get('sparse_over_dense')}** ({verdict}).",
             "",
         ]
+        qb = ab.get("query_batch")
+        if qb:
+            lines += [
+                f"**Retrieve query-batch scaling** (|Q|=3 vs |Q|=30, "
+                f"interleaved pairs on the warm retriever): "
+                f"{qb.get('q3_sec')} s vs {qb.get('q30_sec')} s — 10× the "
+                f"queries costs **{qb.get('q30_over_q3')}×** the wall "
+                f"(~{qb.get('marginal_ms_per_query')} ms marginal per "
+                f"query).  One set-based plan serves the whole batch; the "
+                f"reference loops one igraph call per query "
+                f"(`HippoRAG.py:406`), i.e. ~|Q|× the single-query wall.",
+                "",
+            ]
     ws = rec.get("weak_scaling_pipeline")
     if ws:
         lines += [
