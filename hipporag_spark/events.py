@@ -15,16 +15,20 @@ engine-native surface for the ``events`` table shape
   (lag → flag → running sum → groupBy); one shuffle on ``user_id``.
 - :func:`sessionize_stream` — the SAME session semantics as a custom
   stateful streaming operator via ``applyInPandasWithState``: per-user
-  state carries the open session; a session is emitted the moment a
-  same-user event closes it (deterministic, watermark-independent),
-  and the *last* open session closes via event-time timeout once the
-  watermark passes its end + gap.  Out-of-order events inside one
-  micro-batch are handled exactly (sorted before processing); a
-  cross-batch late event still within the watermark is folded into the
-  user's open session (extending its start backwards if needed) without
-  re-splitting accumulated state, and events older than the watermark
-  are dropped by Spark's watermark contract — the two documented
-  streaming trade-offs vs the exact batch op.
+  state holds EVERY session interval the watermark has not yet sealed
+  (multi-interval state, ADVICE r4 item 3), and an interval is emitted
+  exactly when the watermark passes its ``end + gap`` — the first
+  moment Spark's watermark contract guarantees no surviving event can
+  still merge into it (any merge candidate would carry an event time
+  ≤ end + gap ≤ watermark and is dropped before reaching the
+  operator).  Consequence: for every event the watermark admits, the
+  stream's emitted sessions equal :func:`sessionize` on the same rows
+  EXACTLY — the single residual divergence vs batch is the watermark
+  contract itself (events older than the watermark never reach any
+  stateful operator).  Out-of-order events inside one micro-batch and
+  cross-batch late events within the watermark are both handled by the
+  same interval-merge (a late event can extend an interval backwards,
+  bridge two held intervals into one, or open its own).
 
 Numeric note: ``value`` sums are computed in ``decimal(18,2)`` and cast
 back to double, so results are independent of partitioning/aggregation
@@ -110,7 +114,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 SESSION_OUT_SCHEMA = ("user_id long, session_start timestamp, "
                       "session_end timestamp, n_events long, total_value double")
-_STATE_SCHEMA = "start_us long, last_us long, n long, total_cents long"
+# parallel arrays: one entry per held (watermark-unsealed) interval,
+# sorted by start_us ascending
+_STATE_SCHEMA = ("starts_us array<long>, lasts_us array<long>, "
+                 "ns array<long>, total_cents array<long>")
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
@@ -119,9 +126,21 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     :func:`sessionize` via ``applyInPandasWithState`` (the task-level
     custom stateful operator): emits
     ``(user_id, session_start, session_end, n_events, total_value)``
-    for every CLOSED session — closed either by a later same-user event
-    beyond the gap (emitted immediately) or by the event-time timeout
-    once the watermark passes ``session_end + gap``.
+    for every session the watermark has sealed — an interval leaves
+    state exactly when the watermark passes ``session_end + gap``, the
+    first moment no admissible event can still merge into it (a merge
+    candidate has event time ≤ end + gap, which the watermark already
+    drops).  Until then EVERY unsealed interval is held in state
+    (multi-interval, ADVICE r4 item 3), so a late event inside the
+    watermark merges into exactly the interval the batch op would put
+    it in — including bridging two held intervals into one.  Emitted
+    sessions therefore equal :func:`sessionize` row-for-row over the
+    events the watermark admits.
+
+    State per user is bounded by the watermark horizon, not the stream:
+    held intervals are pairwise more than ``gap`` apart and all end
+    within ``watermark`` of the max event time, so there are at most
+    ``watermark/gap + 1`` of them (4 at the 1 h / 30 min defaults).
 
     ``session_seq`` is deliberately absent from the streaming output: a
     stream cannot know a user's historical session count without
@@ -129,17 +148,46 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     """
     gap_us = int(gap_minutes) * 60 * 1_000_000
 
+    def _emit(user_id, sealed):
+        return pd.DataFrame(
+            {"user_id": [user_id] * len(sealed),
+             "session_start": [pd.Timestamp(s, unit="us") for s, *_ in sealed],
+             "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in sealed],
+             "n_events": [n_ for *_, n_, _t in sealed],
+             "total_value": [t_ / 100.0 for *_, t_ in sealed]})
+
+    def _seal_and_update(user_id, merged, state):
+        # seal = watermark strictly past end + gap (an event AT
+        # end + gap still merges, and Spark admits rows at the
+        # watermark boundary, so equality must keep the interval open)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sealed = [iv for iv in merged if iv[1] + gap_us < wm_us]
+        held = [iv for iv in merged if iv[1] + gap_us >= wm_us]
+        if held:
+            state.update((
+                [int(iv[0]) for iv in held],
+                [int(iv[1]) for iv in held],
+                [int(iv[2]) for iv in held],
+                [int(iv[3]) for iv in held],
+            ))
+            # wake when the earliest held interval's seal time passes;
+            # +1 ms so the timeout is strictly past end + gap AND
+            # strictly ahead of the current watermark (required by the
+            # EventTimeTimeout contract when end + gap == watermark)
+            due_ms = min(int(iv[1]) + gap_us for iv in held) // 1000 + 1
+            state.setTimeoutTimestamp(max(due_ms, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+        if sealed:
+            yield _emit(user_id, sealed)
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state):
         (user_id,) = key
         if state.hasTimedOut:
-            start_us, last_us, n, cents = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {"user_id": [user_id],
-                 "session_start": [pd.Timestamp(start_us, unit="us")],
-                 "session_end": [pd.Timestamp(last_us, unit="us")],
-                 "n_events": [n],
-                 "total_value": [cents / 100.0]})
+            starts, lasts, ns, cents_a = state.get
+            merged = [[int(s), int(e), int(n_), int(c_)]
+                      for s, e, n_, c_ in zip(starts, lasts, ns, cents_a)]
+            yield from _seal_and_update(user_id, merged, state)
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
@@ -148,30 +196,18 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
         # NULL values contribute 0 to the sum — same semantics as the
         # batch path's nan-skipping decimal sum (and no non-finite crash)
         cents = (rows["value"].fillna(0.0).round(2) * 100).round().astype("int64").to_numpy()
-        # Interval-merge the retained open session with the batch's
-        # events, sorted by event time: events within ``gap`` of each
-        # other (or of the open session's span) fold together; a
-        # cross-batch late event more than a gap BEFORE the open
-        # session's start becomes its own session, exactly as the batch
-        # sessionizer would split it (ADVICE r3 item 4 — the previous
-        # fold-always rule could drag session_start arbitrarily far
-        # back and merge two sessions the batch op keeps apart).  Two
-        # residual divergences from batch, both inherent to append-mode
-        # emit-on-close streaming (state here is single-interval by
-        # design — O(1) per user):
-        #   1. a late event adjacent to a session ALREADY emitted in an
-        #      earlier micro-batch cannot rejoin it (append emits once);
-        #      it starts a fresh session instead;
-        #   2. a late event more than a gap BEFORE the open session is
-        #      emitted as a closed session IMMEDIATELY (it lands in
-        #      merged[:-1] below) rather than being held until the
-        #      watermark passes its end+gap — so an even-later event
-        #      still inside the watermark that belongs to that early
-        #      interval opens a duplicate session where batch would
-        #      merge (ADVICE r4 item 3).  Holding it would need
-        #      multi-interval state; the single-interval trade keeps
-        #      per-user state constant-size at 100 TB event volume.
-        items = [tuple(int(x) for x in state.get)] if state.exists else []
+        # Interval-merge the held intervals with the batch's events,
+        # sorted by event time — identical to what the batch
+        # sessionizer's lag/flag/sum computes over the union of rows:
+        # an event within ``gap`` of an interval folds in (extending
+        # its start backwards or its end forwards), an event bridging
+        # two held intervals fuses them, and anything farther than a
+        # gap from everything opens its own interval.
+        items = []
+        if state.exists:
+            starts, lasts, ns, cents_a = state.get
+            items += [(int(s), int(e), int(n_), int(c_))
+                      for s, e, n_, c_ in zip(starts, lasts, ns, cents_a)]
         items += [(int(ts_us[i]), int(ts_us[i]), 1, int(cents[i]))
                   for i in range(len(rows))]
         items.sort(key=lambda x: (x[0], x[1]))
@@ -185,18 +221,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                 cur[3] += c_
             else:
                 merged.append([s, e, n_, c_])
-        out = [tuple(m) for m in merged[:-1]]
-        start_us, last_us, n, tot = merged[-1]
-        state.update((int(start_us), int(last_us), int(n), int(tot)))
-        # close the open session when the watermark passes end + gap
-        state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
-        if out:
-            yield pd.DataFrame(
-                {"user_id": [user_id] * len(out),
-                 "session_start": [pd.Timestamp(s, unit="us") for s, *_ in out],
-                 "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in out],
-                 "n_events": [n_ for *_, n_, _t in out],
-                 "total_value": [t_ / 100.0 for *_, t_ in out]})
+        yield from _seal_and_update(user_id, merged, state)
 
     return (
         events.withWatermark("ts", watermark)

@@ -199,3 +199,51 @@ def test_sessionize_stream_late_beyond_gap_splits(spark, tmp_path):
     assert main["session_start"] == T0 + _min(120)
     assert main["session_end"] == T0 + _min(125)
     assert main["n_events"] == 2 and main["total_value"] == 3.0
+
+
+def test_sessionize_stream_multi_interval_late_merge(spark, tmp_path):
+    """ADVICE r4 item 3 scenario: a late event more than a gap BEFORE
+    the open session must be HELD (not emitted) until the watermark
+    seals it, so an even-later in-watermark event that belongs to that
+    early interval merges into it — and a late event between two held
+    intervals bridges them into one, exactly as batch does.  The old
+    single-interval state emitted the early interval immediately and
+    then opened a duplicate session."""
+    files = [
+        _mk(spark, [(0, T0 + _min(120), 7, "view", 1.0),
+                    (1, T0 + _min(125), 7, "click", 2.0)]),
+        _mk(spark, [(2, T0, 7, "view", 0.5)]),            # pre-gap late
+        _mk(spark, [(3, T0 + _min(50), 7, "view", 0.25)]),  # own interval
+        _mk(spark, [(4, T0 + _min(25), 7, "view", 0.15)]),  # bridges 2+3
+        _mk(spark, [(9, T0 + dt.timedelta(days=10), 7, "view", 0.01)]),
+    ]
+    src = str(tmp_path / "src5")
+    files[0].coalesce(1).write.mode("overwrite").parquet(src)
+    for f in files[1:]:
+        f.coalesce(1).write.mode("append").parquet(src)
+
+    got = _run_stream(
+        spark, src, str(tmp_path / "ck5"),
+        lambda s: (ev.sessionize_stream(s, gap_minutes=30, watermark="3 hours")
+                   .writeStream.format("memory").outputMode("append")),
+        "sess_stream_multi",
+    ).toPandas()
+    got = got[got["session_start"] < T0 + dt.timedelta(days=1)]
+
+    want = (
+        ev.sessionize(
+            files[0].unionByName(files[1]).unionByName(files[2])
+            .unionByName(files[3]).unionByName(files[4]),
+            gap_minutes=30)
+        .where(F.col("session_start") < F.lit(T0 + dt.timedelta(days=1)))
+        .toPandas()
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
+    # the bridged early session is one interval: [T0, T0+50], 3 events
+    early = got.iloc[0]
+    assert early["session_start"] == T0
+    assert early["session_end"] == T0 + _min(50)
+    assert early["n_events"] == 3 and early["total_value"] == 0.90
