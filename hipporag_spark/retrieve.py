@@ -60,12 +60,11 @@ class RetrievalConfig:
     # EXACT: cosine_topk_with_stats computes the per-query global
     # (min, max) from per-cell stat rows regardless of k, so the full
     # q×|P| score matrix is never materialized.  None = reference-exact.
-    # Second documented consequence (ADVICE r4 item 1): with m set, a
-    # passage outside the top-m that is also graph-unreachable from the
-    # query's fact phrases scores exactly 0 and is absent from the
-    # sparse PPR output, so retrieve() may return FEWER than
-    # retrieval_top_k rows per query (the reference's dense score
-    # vector always pads top-k with zero-score rows ordered by doc_id).
+    # Note (ADVICE r4 item 1, closed): with m set, a passage outside
+    # the top-m that is also graph-unreachable scores exactly 0 and is
+    # absent from the sparse PPR output — retrieve() restores the
+    # reference's dense contract via :func:`pad_to_dense_topk`, filling
+    # top-k with zero-score rows ordered by doc_id.
     dpr_reset_top_m: Optional[int] = None
     # Dense PPR output contract: when True, retrieve() asks batch PPR for
     # the reference's dense score relation (a row for EVERY universe node
@@ -81,6 +80,46 @@ class RetrievalConfig:
     # (query_id, fact_id, fact_score) and returns the kept/rescored
     # subset; None = identity (the engine's deterministic default)
     rerank_fn: Optional[Callable[[DataFrame], DataFrame]] = None
+
+
+def pad_to_dense_topk(
+    ranked: DataFrame,      # (query_id, doc_id, score, rank), rank <= k
+    queries: DataFrame,     # (query_id) — every query that must fill to k
+    positives: DataFrame,   # (query_id, doc_id) — ALL nonzero-score docs
+    all_docs: DataFrame,    # (doc_id) — the full passage universe
+    k: int,
+) -> DataFrame:
+    """Restore the reference's dense top-k contract over a sparse score
+    relation (ADVICE r4 item 1): the reference ranks a DENSE per-query
+    score vector (``HippoRAG.py:1600-1613``), so whenever fewer than
+    ``k`` passages score > 0 the tail of its top-k is zero-score rows
+    ordered by doc_id.  The engine's sparse PPR output omits zero rows,
+    so under-filled queries here get that tail appended: score ``0.0``,
+    doc_id ascending, ranks continuing after the positive rows.
+
+    Scale: one global top-``2k`` sort on passage ids (an under-filled
+    query has < k positive docs, so ≥ k of the 2k smallest ids score
+    zero for it) broadcast-nested-looped against ONLY the under-filled
+    queries — never the |V|×|Q| dense relation the sparse path exists
+    to avoid."""
+    k = int(k)
+    counts = ranked.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    need = (
+        queries.join(counts, "query_id", "left")
+        .select("query_id", F.coalesce("n_pos", F.lit(0)).alias("n_pos"))
+        .where(F.col("n_pos") < k)
+    )
+    pool = all_docs.orderBy("doc_id").limit(2 * k)
+    pad_w = Window.partitionBy("query_id").orderBy("doc_id")
+    pads = (
+        need.crossJoin(F.broadcast(pool))
+        .join(positives, ["query_id", "doc_id"], "left_anti")
+        .withColumn("_pr", F.row_number().over(pad_w))
+        .where(F.col("_pr") + F.col("n_pos") <= k)
+        .select("query_id", "doc_id", F.lit(0.0).alias("score"),
+                (F.col("_pr") + F.col("n_pos")).alias("rank"))
+    )
+    return ranked.unionByName(pads)
 
 
 class GraphRetriever:
@@ -269,11 +308,9 @@ class GraphRetriever:
         # k < |passages| and the ranking is identical to the dense
         # contract.  With dpr_reset_top_m SET, graph-unreachable passages
         # outside the top-m have exactly zero score and are absent from
-        # the sparse output, so a query may return FEWER than
-        # retrieval_top_k rows where the reference's dense vector pads
-        # with zero-score rows ordered by doc_id (ADVICE r4 item 1) — a
-        # documented consequence of that scale hatch, see
-        # :class:`RetrievalConfig`.
+        # the sparse output; :func:`pad_to_dense_topk` below restores
+        # the reference's dense contract (zero-score rows ordered by
+        # doc_id fill top-k) at O(k) extra cost (ADVICE r4 item 1).
         ppr_scores = personalized_pagerank_batch(
             self.spark,
             self.edges,
@@ -295,7 +332,15 @@ class GraphRetriever:
         graph_ranked = (
             doc_scores.withColumn("rank", F.row_number().over(wnd))
             .where(F.col("rank") <= cfg.retrieval_top_k)
-        )
+        ).select("query_id", "doc_id", "score", "rank")
+        if not cfg.dense_ppr_output:
+            graph_ranked = pad_to_dense_topk(
+                graph_ranked,
+                queries=have_facts,
+                positives=doc_scores.select("query_id", "doc_id"),
+                all_docs=chunk_ids.select(F.col("node_id").alias("doc_id")),
+                k=cfg.retrieval_top_k,
+            )
         dpr_only = (
             dpr.join(have_facts, "query_id", "left_anti")
             .where(F.col("rank") <= cfg.retrieval_top_k)

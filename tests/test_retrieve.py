@@ -228,3 +228,79 @@ def test_dpr_reset_top_m_truncated_still_ranks(spark, built):
     assert tops(out) == tops(base)
     from collections import Counter
     assert Counter(x["query_id"] for x in out) == Counter(x["query_id"] for x in base)
+
+
+def test_pad_to_dense_topk_unit(spark):
+    """pad_to_dense_topk fills an under-filled query with zero-score
+    docs ordered by doc_id, ranks continuing after the positives; a
+    full query and a zero-positive query are both handled."""
+    from hipporag_spark.retrieve import pad_to_dense_topk
+
+    ranked = spark.createDataFrame(
+        [("qa", "d07", 0.9, 1), ("qa", "d03", 0.5, 2),
+         ("qc", "d01", 0.8, 1), ("qc", "d02", 0.7, 2),
+         ("qc", "d03", 0.6, 3), ("qc", "d04", 0.5, 4)],
+        "query_id string, doc_id string, score double, rank int")
+    queries = spark.createDataFrame([("qa",), ("qb",), ("qc",)],
+                                    "query_id string")
+    positives = ranked.select("query_id", "doc_id")
+    all_docs = spark.createDataFrame(
+        [(f"d{i:02d}",) for i in range(10)], "doc_id string")
+    out = pad_to_dense_topk(ranked, queries, positives, all_docs, k=4)
+    rows = sorted(out.collect(), key=lambda x: (x["query_id"], x["rank"]))
+    by_q = {}
+    for x in rows:
+        by_q.setdefault(x["query_id"], []).append(
+            (x["rank"], x["doc_id"], x["score"]))
+    # qa: 2 positives + 2 zero pads = smallest ids not in {d07, d03}
+    assert by_q["qa"] == [(1, "d07", 0.9), (2, "d03", 0.5),
+                          (3, "d00", 0.0), (4, "d01", 0.0)]
+    # qb: no positives at all -> 4 smallest ids, all zero
+    assert by_q["qb"] == [(1, "d00", 0.0), (2, "d01", 0.0),
+                          (3, "d02", 0.0), (4, "d03", 0.0)]
+    # qc: already full -> untouched
+    assert by_q["qc"] == [(1, "d01", 0.8), (2, "d02", 0.7),
+                          (3, "d03", 0.6), (4, "d04", 0.5)]
+
+
+def test_sparse_retrieve_matches_dense_contract(spark):
+    """End-to-end invariant behind pad_to_dense_topk (ADVICE r4 item 1):
+    with dpr_reset_top_m set and isolated passage components in the
+    graph, sparse-output retrieve() must equal the dense
+    |V|x|Q|-contract retrieve() (dense_ppr_output=True) exactly —
+    same docs, ranks, and scores, every query filled to top_k."""
+    import dataclasses
+
+    docs = DOCS + [
+        "zzalpha zzbeta zzgamma zzdelta zzeps",   # isolated component 1
+        "yyalpha yybeta yygamma yydelta yyeps",   # isolated component 2
+    ]
+    corpus = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", f"c{i}", "py", d) for i, d in enumerate(docs)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t = extract_all(corpus)
+    nodes, edges = build_graph(t)
+    cfg = dataclasses.replace(
+        CFG, retrieval_top_k=len(docs), dpr_reset_top_m=2)
+    r = GraphRetriever(spark, nodes, edges, t["chunks"], t["entities"],
+                       t["facts"], t["membership"], cfg)
+    qdf = spark.createDataFrame(QUERIES, "query_id string, question string")
+
+    sparse = r.retrieve(qdf).collect()
+    r.cfg = dataclasses.replace(cfg, dense_ppr_output=True)
+    dense = r.retrieve(qdf).collect()
+
+    from collections import Counter
+    n_passages = r.passages.count()
+    want_n = min(cfg.retrieval_top_k, n_passages)
+    assert Counter(x["query_id"] for x in sparse) == \
+        {q: want_n for q, _ in QUERIES}
+    key = lambda rows: {(x["query_id"], x["rank"]): (x["doc_id"], x["score"])
+                        for x in rows}
+    ks, kd = key(sparse), key(dense)
+    assert ks.keys() == kd.keys()
+    for kk, (doc, score) in ks.items():
+        ddoc, dscore = kd[kk]
+        assert doc == ddoc, (kk, doc, ddoc)
+        assert abs(score - dscore) < 1e-12
