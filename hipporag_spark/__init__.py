@@ -26,6 +26,7 @@ Layout
 - :mod:`hipporag_spark.similarity`  exact + IVF + SRP-LSH similarity search
 - :mod:`hipporag_spark.textstats`   language-ID, quality scoring, token counts, fingerprints
 - :mod:`hipporag_spark.multimodal`  binary media columns: decode/resize/frame-sample plumbing
+- :mod:`hipporag_spark.events`      event-time windows + multi-interval stateful sessionization
 - :mod:`hipporag_spark.api`         REST service (/index, /retrieve) over the multi-tenant engine
 - :mod:`hipporag_spark.checkpoint`  superstep checkpoint store (parquet + manifest)
 - :mod:`hipporag_spark._worker_cache`  per-worker block cache + chunked superstep kernel
@@ -59,6 +60,7 @@ from .retrieve import GraphRetriever, RetrievalConfig  # noqa: E402
 from .engine import HippoIndex  # noqa: E402
 from .checkpoint import CheckpointStore  # noqa: E402
 from .streaming import corpus_stream, stream_index  # noqa: E402
+from .events import sessionize, sessionize_stream, windowed_stats  # noqa: E402
 
 __all__ = [
     "get_spark",
@@ -73,4 +75,5 @@ __all__ = [
     "triangle_count", "triangle_list",
     "GraphRetriever", "RetrievalConfig", "HippoIndex", "CheckpointStore",
     "corpus_stream", "stream_index",
+    "sessionize", "sessionize_stream", "windowed_stats",
 ]
