@@ -85,7 +85,10 @@ class RetrievalConfig:
 def pad_to_dense_topk(
     ranked: DataFrame,      # (query_id, doc_id, score, rank), rank <= k
     queries: DataFrame,     # (query_id) — every query that must fill to k
-    positives: DataFrame,   # (query_id, doc_id) — ALL nonzero-score docs
+    positives: DataFrame,   # (query_id, doc_id) — the nonzero-score docs;
+                            # ``ranked`` itself is a valid argument, since a
+                            # query is only padded when it has < k positives,
+                            # i.e. when every positive row survived the top-k
     all_docs: DataFrame,    # (doc_id) — the full passage universe
     k: int,
 ) -> DataFrame:
@@ -334,13 +337,32 @@ class GraphRetriever:
             .where(F.col("rank") <= cfg.retrieval_top_k)
         ).select("query_id", "doc_id", "score", "rank")
         if not cfg.dense_ppr_output:
-            graph_ranked = pad_to_dense_topk(
-                graph_ranked,
-                queries=have_facts,
-                positives=doc_scores.select("query_id", "doc_id"),
-                all_docs=chunk_ids.select(F.col("node_id").alias("doc_id")),
-                k=cfg.retrieval_top_k,
+            # persist the ≤ k·|Q|-row ranked relation: the under-fill
+            # probe below materializes it (running the PPR job exactly
+            # once), and the final plan — plus the pad plan's counts and
+            # anti-join when attached — reuses the cache; `ranked`
+            # doubles as the positive set, which is complete for exactly
+            # the queries that get padded (< k positives ⇒ nothing cut
+            # at top-k).  The probe is one scalar action over the cached
+            # relation, so the common all-queries-full case pays ~one
+            # small job instead of the pad plan's extra shuffles.
+            graph_ranked = graph_ranked.persist()
+            underfilled = (
+                have_facts.join(
+                    graph_ranked.groupBy("query_id").agg(
+                        F.count(F.lit(1)).alias("n_pos")),
+                    "query_id", "left")
+                .where(F.coalesce("n_pos", F.lit(0)) < cfg.retrieval_top_k)
+                .limit(1).count() > 0
             )
+            if underfilled:
+                graph_ranked = pad_to_dense_topk(
+                    graph_ranked,
+                    queries=have_facts,
+                    positives=graph_ranked.select("query_id", "doc_id"),
+                    all_docs=chunk_ids.select(F.col("node_id").alias("doc_id")),
+                    k=cfg.retrieval_top_k,
+                )
         dpr_only = (
             dpr.join(have_facts, "query_id", "left_anti")
             .where(F.col("rank") <= cfg.retrieval_top_k)
