@@ -138,9 +138,10 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     events the watermark admits.
 
     State per user is bounded by the watermark horizon, not the stream:
-    held intervals are pairwise more than ``gap`` apart and all end
-    within ``watermark`` of the max event time, so there are at most
-    ``watermark/gap + 1`` of them (4 at the 1 h / 30 min defaults).
+    held intervals end within ``[wm - gap, wm + watermark]`` (older ones
+    are sealed, later events don't exist yet) and consecutive ends are
+    more than ``gap`` apart, so there are at most
+    ``watermark/gap + 2`` of them (4 at the 1 h / 30 min defaults).
 
     ``session_seq`` is deliberately absent from the streaming output: a
     stream cannot know a user's historical session count without
