@@ -247,3 +247,58 @@ def test_sessionize_stream_multi_interval_late_merge(spark, tmp_path):
     assert early["session_start"] == T0
     assert early["session_end"] == T0 + _min(50)
     assert early["n_events"] == 3 and early["total_value"] == 0.90
+
+
+def test_sessionize_stream_state_survives_restart(spark, tmp_path):
+    """Held (watermark-unsealed) intervals must survive a full query
+    stop/restart through the checkpoint: launch 1 leaves two held
+    intervals in state (the open session and a pre-gap late interval)
+    and emits nothing; launch 2 delivers only the far-future sentinel,
+    which seals both.  Both sessions must be emitted by launch 2 with
+    batch-exact bounds.  (A recoverable file sink is required — the
+    memory sink refuses checkpoint recovery.)"""
+    src = str(tmp_path / "src6")
+    ckpt = str(tmp_path / "ck6")
+    out = str(tmp_path / "out6")
+    f1 = _mk(spark, [(0, T0 + _min(120), 7, "view", 1.0),
+                     (1, T0 + _min(125), 7, "click", 2.0)])
+    f2 = _mk(spark, [(2, T0, 7, "view", 0.5)])  # pre-gap late, held
+    f1.coalesce(1).write.mode("overwrite").parquet(src)
+    f2.coalesce(1).write.mode("append").parquet(src)
+
+    def launch():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            ev.sessionize_stream(stream, gap_minutes=30, watermark="3 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        return spark.read.schema(ev.SESSION_OUT_SCHEMA).parquet(out)
+
+    got1 = launch().toPandas()
+    # nothing sealed yet: the watermark never passed either interval
+    assert len(got1) == 0, got1
+
+    sentinel = _mk(spark, [(9, T0 + dt.timedelta(days=10), 7, "view", 0.01)])
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    got2 = launch().toPandas()
+    got2 = got2[got2["session_start"] < T0 + dt.timedelta(days=1)]
+    got2 = got2.sort_values("session_start").reset_index(drop=True)
+    assert len(got2) == 2, got2
+    early, main = got2.iloc[0], got2.iloc[1]
+    assert early["session_start"] == T0 and early["session_end"] == T0
+    assert early["n_events"] == 1 and early["total_value"] == 0.5
+    assert main["session_start"] == T0 + _min(120)
+    assert main["session_end"] == T0 + _min(125)
+    assert main["n_events"] == 2 and main["total_value"] == 3.0
