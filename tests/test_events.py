@@ -302,3 +302,49 @@ def test_sessionize_stream_state_survives_restart(spark, tmp_path):
     assert main["session_start"] == T0 + _min(120)
     assert main["session_end"] == T0 + _min(125)
     assert main["n_events"] == 2 and main["total_value"] == 3.0
+
+
+@pytest.mark.parametrize("seed", [7, 1731])
+def test_sessionize_stream_randomized_equivalence(spark, tmp_path, seed):
+    """Randomized stream ≡ batch: random event times for several users,
+    randomly split across three files processed one per micro-batch (so
+    events arrive arbitrarily out of order ACROSS batches), with a
+    watermark wide enough to admit every event.  The multi-interval
+    sessionizer's emitted sessions must equal the batch sessionizer
+    row-for-row — merges, bridges, and backward extensions included."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for eid in range(24):
+        user = rng.randint(1, 3)
+        ts = T0 + dt.timedelta(minutes=rng.randint(0, 360))
+        rows.append((eid, ts, user, "view", rng.randint(0, 400) / 100.0))
+    rng.shuffle(rows)
+    thirds = [rows[0:8], rows[8:16], rows[16:24]]
+    sentinels = [(100 + u, T0 + dt.timedelta(days=10), u, "view", 0.01)
+                 for u in (1, 2, 3)]
+
+    src = str(tmp_path / f"src_r{seed}")
+    _mk(spark, thirds[0]).coalesce(1).write.mode("overwrite").parquet(src)
+    for part in thirds[1:]:
+        _mk(spark, part).coalesce(1).write.mode("append").parquet(src)
+    _mk(spark, sentinels).coalesce(1).write.mode("append").parquet(src)
+
+    got = _run_stream(
+        spark, src, str(tmp_path / f"ck_r{seed}"),
+        lambda s: (ev.sessionize_stream(s, gap_minutes=30, watermark="12 hours")
+                   .writeStream.format("memory").outputMode("append")),
+        f"sess_stream_rand_{seed}",
+    ).toPandas()
+    got = got[got["session_start"] < T0 + dt.timedelta(days=1)]
+
+    want = (
+        ev.sessionize(_mk(spark, rows + sentinels), gap_minutes=30)
+        .where(F.col("session_start") < F.lit(T0 + dt.timedelta(days=1)))
+        .toPandas()
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(want), f"seed={seed}\ngot:\n{got}\nwant:\n{want}"
